@@ -1,0 +1,116 @@
+"""Point-in-polygon spatial join, Spark-first.
+
+Two-phase plan (the STRtree-broadcast analog from the survey §4.2):
+
+1. **Coarse**: each polygon is rasterized to the grid cells covering its
+   bounding box (pure expressions over the GeoJSON coord array), giving a
+   small (cell_id, geo_id, coord) index that Catalyst broadcast-joins with
+   the point table on cell_id — a hash join, no theta join, no UDF.
+2. **Refine**: an exact even-odd ray-cast implemented with array
+   higher-order functions (aggregate/filter over the ring edges), staying
+   inside codegen. Even-odd over all rings handles holes for free.
+
+Reference semantics generalized: the reference only has the rectangular
+``inrange`` containment test (/root/reference/fedtraj/utils/
+preprocessing_porto.py:24-33) applied to every point of a trajectory; this
+operator is the polygon-set generalization demanded by the GeoData model
+(/root/reference/trajlib/data_processing/utils/data_definition.py:137-181).
+
+At 100 TB: the polygon index is tiny (regions/countries) → broadcast; the
+point side never shuffles at all — the join is map-side. Hot cells don't
+matter here because the build side is the polygon index, not the points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import GridConfig
+from . import cells
+
+
+def _bounded_idx(v: Column, v_min: float, v_max: float, unit: float, size: int) -> Column:
+    """Grid index of a coordinate clamped to the MBR edge (coverage clamps
+    to the boundary — unlike point assignment, which snaps to center)."""
+    clamped = F.greatest(F.lit(v_min), F.least(F.lit(v_max), v))
+    idx = F.floor(F.floor(clamped - F.lit(v_min)) / F.lit(unit)).cast("long")
+    return F.least(F.lit(size - 1), F.greatest(F.lit(0), idx))
+
+
+def polygon_covering_cells(polygons: DataFrame, grid: GridConfig) -> DataFrame:
+    """(geo_id, cell_id, coord): every grid cell whose MBR intersects the
+    polygon's bounding box. coord is carried along so the refine phase
+    needs no second join."""
+    pts = F.flatten(F.col("coord"))
+    xs = F.transform(pts, lambda p: p[0])
+    ys = F.transform(pts, lambda p: p[1])
+    df = polygons.select(
+        "geo_id",
+        "coord",
+        _bounded_idx(F.array_min(xs), grid.x_min, grid.x_max, grid.x_unit, grid.x_size).alias("ix_lo"),
+        _bounded_idx(F.array_max(xs), grid.x_min, grid.x_max, grid.x_unit, grid.x_size).alias("ix_hi"),
+        _bounded_idx(F.array_min(ys), grid.y_min, grid.y_max, grid.y_unit, grid.y_size).alias("iy_lo"),
+        _bounded_idx(F.array_max(ys), grid.y_min, grid.y_max, grid.y_unit, grid.y_size).alias("iy_hi"),
+    )
+    df = df.select(
+        "geo_id",
+        "coord",
+        F.explode(F.sequence("ix_lo", "ix_hi")).alias("i_x"),
+        "iy_lo",
+        "iy_hi",
+    ).select(
+        "geo_id",
+        "coord",
+        "i_x",
+        F.explode(F.sequence("iy_lo", "iy_hi")).alias("i_y"),
+    )
+    return df.select(
+        "geo_id",
+        cells.cell_id_from_idx(F.col("i_x"), F.col("i_y"), grid).alias("cell_id"),
+        "coord",
+    )
+
+
+def ray_cast_inside(x: str, y: str, coord: str = "coord") -> Column:
+    """Even-odd crossing test as a pure Catalyst expression. For each ring
+    (closed: last vertex == first) count edges crossing the horizontal ray
+    to +inf from the point; odd total = inside. The CASE guard keeps the
+    division away from horizontal edges (y2 == y1), which would error under
+    Spark's ANSI mode; the crossing precondition already implies y2 != y1.
+    The oracle SQL (synth.pip_crossing_case) uses the identical CASE text.
+    """
+    expr = f"""
+    aggregate({coord}, 0, (acc, ring) -> acc + size(filter(
+        arrays_zip(slice(ring, 1, size(ring) - 1), slice(ring, 2, size(ring) - 1)),
+        e -> CASE WHEN ((e['0'][1] > {y}) != (e['1'][1] > {y}))
+                  THEN {x} < ((e['1'][0] - e['0'][0]) * ({y} - e['0'][1])
+                              / (e['1'][1] - e['0'][1]) + e['0'][0])
+                  ELSE false END
+    ))) % 2 = 1
+    """
+    return F.expr(expr)
+
+
+def point_in_polygon(
+    points: DataFrame,
+    polygons: DataFrame,
+    grid: GridConfig,
+    x: str = "x",
+    y: str = "y",
+    point_cols: list[str] | None = None,
+) -> DataFrame:
+    """Join rows (point columns…, geo_id) for every point inside a polygon.
+
+    ``points`` needs Mercator columns x/y; cell_id is computed if absent.
+    ``polygons`` is GeoData-shaped: (geo_id, coord array<array<array<double>>>).
+    """
+    if "cell_id" not in points.columns:
+        points = cells.with_cell(points, grid, x=x, y=y)
+    index = polygon_covering_cells(polygons, grid)
+    cand = points.join(F.broadcast(index), "cell_id")
+    out_cols = point_cols or [c for c in points.columns if c != "cell_id"]
+    return (
+        cand.where(ray_cast_inside(x, y, "coord"))
+        .select(*out_cols, "geo_id")
+    )
