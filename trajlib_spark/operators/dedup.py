@@ -1,0 +1,269 @@
+"""Deduplication operators for the training-data pipeline: exact,
+MinHash+LSH, SimHash, n-gram Jaccard verification, and embedding-cosine
+near-dup. Designed for the 100 TB shape: every method reduces to
+hash → groupBy/join on small keys; no all-pairs stage ever runs on the full
+corpus — candidates come from banded buckets, and only candidates get the
+exact verification kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- exact dedup -------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, keeper, n_dups): md5 groups; keeper = min id."""
+    return (
+        docs.select(F.md5(F.col(text)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# --- shingling + MinHash ------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """64-bit hashes of the k-character shingles (lowercased)."""
+    s = text.lower()
+    if len(s) < k:
+        s = s + " " * (k - len(s))
+    n = len(s) - k + 1
+    out = np.empty(n, dtype=np.uint64)
+    for i in range(n):
+        out[i] = np.uint64(hash(s[i : i + k]) & 0xFFFFFFFFFFFFFFFF)
+    return np.unique(out)
+
+
+def _stable_shingles(text: str, k: int) -> np.ndarray:
+    """Like _shingle_hashes but with a process-stable FNV-1a (python hash()
+    of str is salted per process — useless across executors)."""
+    s = text.lower().encode("utf-8", "ignore")
+    if len(s) < k:
+        s = s + b" " * (k - len(s))
+    arr = np.frombuffer(s, dtype=np.uint8).astype(np.uint64)
+    # FNV-1a over each k-byte window, vectorized across windows
+    n = len(arr) - k + 1
+    h = np.full(n, np.uint64(1469598103934665603), dtype=np.uint64)
+    prime = np.uint64(1099511628211)
+    for off in range(k):
+        h = (h ^ arr[off : off + n]) * prime
+    return np.unique(h)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 1,
+) -> DataFrame:
+    """(doc_id, sig array<long>) — classic (a·x + b) mod p row-wise min."""
+    a, b = _minhash_params(num_perm, seed)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for s in pdf[text]:
+                sh = _stable_shingles(s or "", shingle_k).astype(np.uint64)
+                if len(sh) == 0:
+                    sigs.append([0] * num_perm)
+                    continue
+                # (a*x + b) mod p, computed in python ints to avoid overflow
+                vals = (
+                    (sh[None, :].astype(object) * a[:, None].astype(object)
+                     + b[:, None].astype(object)) % _MERSENNE
+                ).min(axis=1)
+                sigs.append([int(v) for v in vals])
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+
+    return docs.select(id_col, text).mapInPandas(
+        run, f"{id_col} long, sig array<long>"
+    )
+
+
+def lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded LSH: split each signature into ``bands`` bands, bucket-join on
+    (band_idx, band hash), emit candidate pairs (i < j) once. The join key
+    is a hash — tiny shuffle rows, the scale path."""
+    n_perm = None  # rows agree by construction
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.slice(
+                    "sig",
+                    bidx * (F.size("sig") / bands).cast("int") + 1,
+                    (F.size("sig") / bands).cast("int"),
+                ),
+            )
+        ).alias("band_idx", "band"),
+    ).select(id_col, "band_idx", F.hash("band").alias("bucket"))
+    a = banded.select(F.col(id_col).alias("i"), "band_idx", "bucket")
+    b = banded.select(F.col(id_col).alias("j"), "band_idx", "bucket")
+    return (
+        a.join(b, ["band_idx", "bucket"])
+        .where(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .distinct()
+    )
+
+
+def ngram_jaccard_verify(
+    docs: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs only → (i, j, jaccard)
+    with jaccard >= threshold."""
+    left = docs.select(F.col(id_col).alias("i"), F.col(text).alias("t_i"))
+    right = docs.select(F.col(id_col).alias("j"), F.col(text).alias("t_j"))
+    joined = candidates.join(left, "i").join(right, "j")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            jac = np.empty(len(pdf))
+            for r, (a, b) in enumerate(zip(pdf["t_i"], pdf["t_j"])):
+                sa = _stable_shingles(a or "", shingle_k)
+                sb = _stable_shingles(b or "", shingle_k)
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                jac[r] = inter / union if union else 1.0
+            yield pd.DataFrame({"i": pdf["i"], "j": pdf["j"], "jaccard": jac})
+
+    out = joined.mapInPandas(run, "i long, j long, jaccard double")
+    return out.where(F.col("jaccard") >= threshold)
+
+
+# --- SimHash ------------------------------------------------------------------
+
+def simhash_signatures(
+    docs: DataFrame,
+    shingle_k: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit SimHash of the shingle set → (doc_id, simhash). Near-dups have
+    small Hamming distance; bucket by rotations/bands for candidate joins."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for s in pdf[text]:
+                sh = _stable_shingles(s or "", shingle_k)
+                if len(sh) == 0:
+                    out.append(0)
+                    continue
+                bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                        & np.uint64(1)).astype(np.int64)
+                acc = (2 * bits - 1).sum(axis=0)
+                val = 0
+                for bit in range(64):
+                    if acc[bit] > 0:
+                        val |= 1 << bit
+                # store as signed 64-bit
+                out.append(val - (1 << 64) if val >= (1 << 63) else val)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return docs.select(id_col, text).mapInPandas(run, f"{id_col} long, simhash long")
+
+
+def simhash_candidates(sigs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs with Hamming distance <= max_hamming, via 4×16-bit
+    band buckets (any pair within distance 3 shares at least one band)."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+                for b in range(4)
+            ])
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.select(F.col(id_col).alias("i"), "band_idx", "band_val",)
+    b = banded.select(F.col(id_col).alias("j"), "band_idx", "band_val")
+    cand = (
+        a.join(b, ["band_idx", "band_val"]).where(F.col("i") < F.col("j"))
+        .select("i", "j").distinct()
+    )
+    si = sigs.select(F.col(id_col).alias("i"), F.col("simhash").alias("h_i"))
+    sj = sigs.select(F.col(id_col).alias("j"), F.col("simhash").alias("h_j"))
+    return (
+        cand.join(si, "i").join(sj, "j")
+        .withColumn("hamming", F.bit_count(F.col("h_i").bitwiseXOR(F.col("h_j"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("i", "j", "hamming")
+    )
+
+
+# --- embedding-cosine near-dup --------------------------------------------------
+
+def embedding_near_dups(
+    embs: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 7,
+) -> DataFrame:
+    """(i, j, cosine) pairs with cosine >= threshold. Candidates from
+    random-hyperplane LSH buckets (sign sketch), verified exactly with
+    zip_with/aggregate — Catalyst-only verification."""
+    dim = len(embs.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    sketch = F.lit(0).cast("long")
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(v)) for v in planes[p]]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sketch = sketch + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    sk = embs.select(id_col, vec_col, sketch.alias("bucket"))
+    a = sk.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v_i"), "bucket")
+    b = sk.select(F.col(id_col).alias("j"), F.col(vec_col).alias("v_j"), "bucket")
+    cand = a.join(b, "bucket").where(F.col("i") < F.col("j"))
+    dot = F.aggregate(
+        F.zip_with("v_i", "v_j", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ))
+    cos = dot / (nrm(F.col("v_i")) * nrm(F.col("v_j")))
+    return (
+        cand.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("i", "j", "cosine")
+    )

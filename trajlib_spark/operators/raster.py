@@ -1,0 +1,115 @@
+"""Tile pyramid and the vector↔raster bridge.
+
+The grid's zoom levels halve resolution per step (config.GridConfig.at_zoom);
+because ceil-division composes (ceil(ceil(a/u)/2) == ceil(a/2u)), the level-z
+cell index of a point is exactly the base index right-shifted by z — so the
+whole pyramid is a rollup over the base assignment, no re-projection, and the
+zoom-z cell id is consistent with assigning points directly on the zoom-z
+grid (property-tested). Tile geometry comes from get_mbr semantics
+(/root/reference/fedtraj/utils/cellspace.py:20-24).
+
+Raster bridge: cells → dense per-tile numpy arrays (grouped-map pandas UDF,
+one row per TILE_SIZE×TILE_SIZE tile) and back (explode of the flattened
+array, pure Catalyst). Dense tiles are the raster representation; the cell
+rows are the vector one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import GridConfig
+from . import cells
+
+TILE_SIZE = 64
+
+
+def tile_counts(
+    points: DataFrame,
+    grid: GridConfig,
+    zooms: tuple[int, ...] = (0, 1, 2, 3),
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """(zoom, i_x, i_y, cell_id, cnt) per pyramid level. One aggregation
+    per level over the base indices (bit-shift rollup); map-side partial
+    aggregation keeps shuffles tiny."""
+    base = points.select(
+        cells.x_idx(F.col(x), F.col(y), grid).alias("bx"),
+        cells.y_idx(F.col(x), F.col(y), grid).alias("by"),
+    )
+    levels = []
+    for z in zooms:
+        gz = grid.at_zoom(z)
+        lvl = (
+            base.select(
+                F.shiftright(F.col("bx"), z).alias("i_x"),
+                F.shiftright(F.col("by"), z).alias("i_y"),
+            )
+            .groupBy("i_x", "i_y")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.lit(z).alias("zoom"),
+                "i_x",
+                "i_y",
+                cells.cell_id_from_idx(F.col("i_x"), F.col("i_y"), gz).alias("cell_id"),
+                "cnt",
+            )
+        )
+        levels.append(lvl)
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionAll(lvl)
+    return out
+
+
+def to_dense_tiles(
+    counts: DataFrame, tile_size: int = TILE_SIZE
+) -> DataFrame:
+    """(zoom, tile_x, tile_y, pixels array<long>) — pixels is the
+    row-major flattened tile_size×tile_size count raster (sparse cells = 0).
+    Grouped by tile so each group is one bounded numpy array."""
+    t = counts.withColumns(
+        {
+            "tile_x": (F.col("i_x") / tile_size).cast("long"),
+            "tile_y": (F.col("i_y") / tile_size).cast("long"),
+            "px": F.col("i_x") % tile_size,
+            "py": F.col("i_y") % tile_size,
+        }
+    )
+
+    def densify(pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros(tile_size * tile_size, dtype=np.int64)
+        arr[pdf["py"].to_numpy() * tile_size + pdf["px"].to_numpy()] = pdf["cnt"].to_numpy()
+        return pd.DataFrame(
+            {
+                "zoom": [int(pdf["zoom"].iloc[0])],
+                "tile_x": [int(pdf["tile_x"].iloc[0])],
+                "tile_y": [int(pdf["tile_y"].iloc[0])],
+                "pixels": [arr.tolist()],
+            }
+        )
+
+    return t.groupBy("zoom", "tile_x", "tile_y").applyInPandas(
+        densify, "zoom int, tile_x long, tile_y long, pixels array<long>"
+    )
+
+
+def from_dense_tiles(tiles: DataFrame, tile_size: int = TILE_SIZE) -> DataFrame:
+    """Inverse bridge: dense tiles → (zoom, i_x, i_y, cnt) vector cells,
+    zero pixels dropped. Pure Catalyst (posexplode)."""
+    return (
+        tiles.select(
+            "zoom", "tile_x", "tile_y", F.posexplode("pixels").alias("pos", "cnt")
+        )
+        .where(F.col("cnt") > 0)
+        .select(
+            "zoom",
+            (F.col("tile_x") * tile_size + F.col("pos") % tile_size).alias("i_x"),
+            (F.col("tile_y") * tile_size + (F.col("pos") / tile_size).cast("long")).alias("i_y"),
+            "cnt",
+        )
+    )

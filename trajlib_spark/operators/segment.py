@@ -1,0 +1,124 @@
+"""Trajectory restructuring: TRACLUS segmentation, RDP simplification, and
+federated sharding — grouped-map pandas UDFs (the per-trajectory recurrences
+are inherently sequential, but trajectories are embarrassingly parallel,
+which is exactly the grouped-map contract).
+
+Reference semantics:
+- traclus_partition + cut_trajectorys_into_segments
+  (/root/reference/fedtraj/utils/trajclus.py:176-235;
+  /root/reference/fedtraj/model/trainer/utils.py:133-168): segments are
+  [cp_k, cp_{k+1}] inclusive, overlapping by one point.
+- RDP with ε = traj_simp_dist = 100 (/root/reference/trajlib/utils/
+  rdp.py:22-35; /root/reference/fedtraj/config.py:69).
+- federated split: positional N-way shards (/root/reference/trajlib/utils/
+  tool_funcs.py:228-236 — np.array_split order).
+
+Scale: one shuffle to group by traj_id (none if the table is already
+bucketed by it); per-group cost bounded by max_traj_len; Arrow batches
+amortize the Python boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import TRAJ_SIMP_DIST
+from ..kernels.rdp import rdp_mask
+from ..kernels.traclus import cut_segments, traclus_mask
+
+_SEGMENT_SCHEMA = (
+    "traj_id string, seg_idx int, start_idx int, end_idx int, n_points int, "
+    "seg_xs array<double>, seg_ys array<double>"
+)
+
+
+def segment_trajectories(
+    points: DataFrame,
+    traj: str = "traj_id",
+    order: tuple[str, ...] = ("ts_ms", "point_id"),
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """→ one row per TRACLUS segment with its polyline."""
+    cols = [traj, *order, x, y]
+    src = points.select(*cols)
+    ocols = list(order)
+
+    def cut(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ocols, kind="mergesort")
+        xs = pdf[x].to_numpy()
+        ys = pdf[y].to_numpy()
+        tr = np.column_stack([xs, ys])
+        mask = traclus_mask(tr)
+        segs = cut_segments(mask)
+        rows = []
+        tid = str(pdf[traj].iloc[0])
+        for k, (a, b) in enumerate(segs):
+            rows.append(
+                (tid, k, int(a), int(b), int(b - a + 1),
+                 xs[a : b + 1].tolist(), ys[a : b + 1].tolist())
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["traj_id", "seg_idx", "start_idx", "end_idx", "n_points",
+                     "seg_xs", "seg_ys"],
+        )
+
+    return src.groupBy(traj).applyInPandas(cut, _SEGMENT_SCHEMA)
+
+
+def simplify_trajectories(
+    points: DataFrame,
+    epsilon: float = TRAJ_SIMP_DIST,
+    traj: str = "traj_id",
+    order: tuple[str, ...] = ("ts_ms", "point_id"),
+    x: str = "x",
+    y: str = "y",
+    keep_col: str = "rdp_keep",
+) -> DataFrame:
+    """Attach a boolean RDP keep-flag per point (filter on it to simplify)."""
+    cols = list(dict.fromkeys([traj, *order, x, y] ))
+    src = points.select(*cols)
+    ocols = list(order)
+    schema = ", ".join(
+        [f"{traj} string"] + [f"{c} {t}" for c, t in
+         zip(ocols + [x, y], ["long", "long", "double", "double"])]
+    ) + f", {keep_col} boolean"
+
+    def simp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ocols, kind="mergesort").copy()
+        tr = np.column_stack([pdf[x].to_numpy(), pdf[y].to_numpy()])
+        pdf[keep_col] = rdp_mask(tr, epsilon)
+        pdf[traj] = pdf[traj].astype(str)
+        return pdf
+
+    return src.groupBy(traj).applyInPandas(simp, schema)
+
+
+def federated_split(
+    trajs: DataFrame,
+    fed_num: int,
+    order: tuple[str, ...] = ("traj_id",),
+) -> DataFrame:
+    """Attach fed_id ∈ [0, fed_num): positional N-way split in ``order``
+    (np.array_split semantics: the first n % fed_num shards get one extra
+    row). Deterministic given the order columns."""
+    w = Window.orderBy(*[F.col(c) for c in order])
+    n = trajs.count()
+    base, extra = divmod(n, fed_num)
+    # row_number 1..n → shard via array_split boundaries
+    boundaries = []
+    acc = 0
+    for s in range(fed_num):
+        acc += base + (1 if s < extra else 0)
+        boundaries.append(acc)
+    rn = F.row_number().over(w)
+    expr = F.lit(fed_num - 1)
+    for s in range(fed_num - 2, -1, -1):
+        expr = F.when(rn <= F.lit(boundaries[s]), F.lit(s)).otherwise(expr)
+    return trajs.withColumn("fed_id", expr)

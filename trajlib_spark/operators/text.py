@@ -1,0 +1,130 @@
+"""Text-analysis operators for the training-data pipeline over `documents`
+(doc_id, text, lang, source, n_chars). All hot-path scoring is pure Catalyst
+string arithmetic (no regex, no UDF): occurrence counts via the
+length-difference trick, which both Spark and the DuckDB oracle compute
+identically.
+
+Operators: token/word counting, punctuation & quality scoring, stopword-
+ratio language ID (n-gram heuristic), rolling-hash document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets (space-padded to approximate word
+# boundaries without regex). Heuristic, deterministic, dialect-portable.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": (" the ", " and ", " of ", " to "),
+    "pt": (" de ", " que ", " não ", " uma "),
+    "de": (" der ", " und ", " die ", " nicht "),
+    "fr": (" le ", " et ", " les ", " des "),
+}
+
+PUNCT = (".", ",", "!", "?", ";", ":")
+
+
+def occurrences(text: Column, needle: str) -> Column:
+    """Count of non-overlapping needle occurrences via length arithmetic."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def word_count(text: Column) -> Column:
+    """Whitespace-separated token count = space count + 1 (documents are
+    single-space normalized; deliberately the same arithmetic as the SQL
+    oracle rather than a regex split)."""
+    return occurrences(text, " ") + F.lit(1)
+
+
+def with_quality(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Adds n_words, punct_ratio, avg_word_len, upper_start, quality_score
+    ∈ [0, 1] (length/punct/structure heuristic)."""
+    t = F.col(text)
+    n_chars = F.length(t)
+    n_words = word_count(t)
+    punct = sum((occurrences(t, p) for p in PUNCT), F.lit(0))
+    punct_ratio = punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    awl = (n_chars - (n_words - 1)).cast("double") / n_words.cast("double")
+    score = (
+        F.least(n_words.cast("double") / F.lit(64.0), F.lit(1.0)) * F.lit(0.4)
+        + F.when((awl >= 3.0) & (awl <= 10.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when((punct_ratio > 0.0) & (punct_ratio < 0.1), F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return docs.withColumns(
+        {
+            "n_words": n_words,
+            "punct_ratio": punct_ratio,
+            "avg_word_len": awl,
+            "quality_score": score,
+        }
+    )
+
+
+def with_lang_id(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Adds lang_pred = argmax language by stopword-marker hits (ties by
+    language code ascending), and the per-language hit counts."""
+    t = F.concat(F.lit(" "), F.lower(F.col(text)), F.lit(" "))
+    hits = {
+        f"hits_{lang}": sum((occurrences(t, m) for m in markers), F.lit(0))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    df = docs.withColumns(hits)
+    # argmax via array_max over (hits, -rank) structs: linear expression
+    # size (a chained CASE would duplicate every operand exponentially and
+    # blow past the codegen method limit); ties pick the alphabetically
+    # first language because -rank orders descending.
+    langs = sorted(LANG_MARKERS)
+    best = F.array_max(
+        F.array(*[
+            F.struct(
+                F.col(f"hits_{lang}").alias("h"), F.lit(-i).alias("nr")
+            )
+            for i, lang in enumerate(langs)
+        ])
+    )
+    pred = F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]), (-best["nr"] + 1).cast("int")
+    )
+    return df.withColumn(
+        "lang_pred", F.when(best["h"] > 0, pred).otherwise(F.lit("und"))
+    )
+
+
+FP_BASE = 257
+FP_MOD = (1 << 61) - 1
+
+
+def fingerprint_py(text: str) -> int:
+    """Polynomial rolling hash of the whole text (base 257 mod 2^61-1)."""
+    h = 0
+    for b in text.encode("utf-8"):
+        h = (h * FP_BASE + b) % FP_MOD
+    return h
+
+
+def with_fingerprint(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Adds fingerprint (rolling hash) via an Arrow-batched UDF — a
+    deterministic 61-bit content id usable as a join/dedup key."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["fingerprint"] = [
+                fingerprint_py(s if s is not None else "") for s in pdf[text]
+            ]
+            yield pdf
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(docs.schema.fields) + [T.StructField("fingerprint", T.LongType())]
+    )
+    return docs.mapInPandas(run, schema)

@@ -1,0 +1,147 @@
+"""Checkpointed table store with per-partition lineage and resume.
+
+Iceberg-compatible *semantics* without the Iceberg runtime jar (none is
+available offline — survey §4.2): each table commit is
+
+    <root>/<table>/data/*.parquet          (the snapshot)
+    <root>/<table>/_manifest.json          (atomic pointer, written last)
+
+A manifest that exists and parses = a committed snapshot; a crashed write
+leaves data files but no manifest, so the stage re-runs — the same
+atomic-swap contract MERGE-less Iceberg gives us. With the Iceberg jar on a
+real cluster, swap `save`/`load` for `writeTo(...).createOrReplace()`.
+
+Lineage: every commit appends one row per output partition to
+<root>/_lineage (run_id, stage, partition_id, input_files, row_count,
+wall_ms, committed_at) — computed distributed via spark_partition_id() +
+input_file_name(), per the north rule's "per-partition lineage rows".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "run_id string, stage string, partition_id int, input_files array<string>, "
+    "row_count long, wall_ms long, committed_at timestamp"
+)
+
+
+@dataclass
+class TableStore:
+    root: str
+    run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+
+    # -- paths ---------------------------------------------------------------
+    def _dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _data(self, table: str) -> str:
+        return os.path.join(self._dir(table), "data")
+
+    def _manifest(self, table: str) -> str:
+        return os.path.join(self._dir(table), "_manifest.json")
+
+    # -- commits ---------------------------------------------------------------
+    def exists(self, table: str) -> bool:
+        """True iff a committed snapshot exists (manifest present + parses)."""
+        try:
+            with open(self._manifest(table)) as f:
+                m = json.load(f)
+            return "row_count" in m
+        except (OSError, json.JSONDecodeError):
+            return False
+
+    def save(
+        self,
+        df: DataFrame,
+        table: str,
+        stage: str | None = None,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Write snapshot + lineage, manifest last (the atomic pointer)."""
+        t0 = time.time()
+        spark = df.sparkSession
+        stage = stage or table
+
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._data(table))
+        wall_ms = int((time.time() - t0) * 1000)
+
+        # Lineage: one row per written output file (= output partition),
+        # with the stage's input files from the logical plan. Computed on
+        # the read-back snapshot so it works for any plan shape (joins,
+        # UDF stages) where input_file_name() on the input side would not.
+        input_files = sorted(df.inputFiles())
+        written = spark.read.parquet(self._data(table))
+        per_file = written.groupBy(
+            F.input_file_name().alias("_out_file")
+        ).agg(F.count(F.lit(1)).alias("row_count"))
+        lineage = per_file.select(
+            F.lit(self.run_id).alias("run_id"),
+            F.lit(stage).alias("stage"),
+            (F.dense_rank().over(Window.orderBy("_out_file")) - 1).alias("partition_id"),
+            F.lit(input_files).alias("input_files"),
+            "row_count",
+            F.lit(wall_ms).alias("wall_ms"),
+            F.current_timestamp().alias("committed_at"),
+        )
+        lineage.write.mode("append").parquet(os.path.join(self.root, "_lineage"))
+
+        row_count = written.count()
+        manifest = {
+            "table": table,
+            "stage": stage,
+            "run_id": self.run_id,
+            "row_count": int(row_count),
+            "committed_at": time.time(),
+            "schema": df.schema.jsonValue(),
+            "version": 1,
+        }
+        tmp = self._manifest(table) + f".tmp.{uuid.uuid4().hex[:6]}"
+        os.makedirs(self._dir(table), exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest(table))  # atomic pointer swap
+
+    def load(self, spark: SparkSession, table: str) -> DataFrame:
+        if not self.exists(table):
+            raise FileNotFoundError(f"no committed snapshot for table {table!r}")
+        return spark.read.parquet(self._data(table))
+
+    def drop(self, table: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._dir(table), ignore_errors=True)
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, "_lineage"))
+
+
+def run_stages(
+    spark: SparkSession,
+    store: TableStore,
+    stages: list[tuple[str, "callable"]],
+    resume: bool = True,
+) -> dict[str, str]:
+    """Run (table_name, fn(spark, store) -> DataFrame) stages in order,
+    skipping any whose snapshot is already committed (resume-from-
+    checkpoint). Returns {table: 'computed'|'skipped'}."""
+    status = {}
+    for table, fn in stages:
+        if resume and store.exists(table):
+            status[table] = "skipped"
+            continue
+        df = fn(spark, store)
+        store.save(df, table, stage=table)
+        status[table] = "computed"
+    return status
