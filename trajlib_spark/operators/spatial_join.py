@@ -72,24 +72,47 @@ def polygon_covering_cells(polygons: DataFrame, grid: GridConfig) -> DataFrame:
     )
 
 
-def ray_cast_inside(x: str, y: str, coord: str = "coord") -> Column:
-    """Even-odd crossing test as a pure Catalyst expression. For each ring
-    (closed: last vertex == first) count edges crossing the horizontal ray
-    to +inf from the point; odd total = inside. The CASE guard keeps the
-    division away from horizontal edges (y2 == y1), which would error under
-    Spark's ANSI mode; the crossing precondition already implies y2 != y1.
-    The oracle SQL (synth.pip_crossing_case) uses the identical CASE text.
+def ray_cast_inside(x: Column, y: Column, coord: Column) -> Column:
+    """Even-odd crossing test as a pure Catalyst expression over bound
+    Columns. For each ring (closed: last vertex == first) count edges
+    crossing the horizontal ray to +inf from the point; odd total = inside.
+    The when() guard keeps the division away from horizontal edges
+    (y2 == y1), which would error under Spark's ANSI mode; the crossing
+    precondition already implies y2 != y1. The oracle SQL
+    (synth.pip_crossing_case) implements the identical arithmetic.
+
+    CRITICAL plan-safety detail: the point coordinates are threaded through
+    the aggregate's *zero* value instead of being captured by the lambda
+    bodies. Spark's reference tracking drops attributes that only appear
+    captured inside lambda functions, which makes the optimizer believe
+    this predicate references the polygon side alone and push it below the
+    join — producing an invalid plan
+    (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at runtime, observed on 4.1.x).
+    With x/y in the zero argument the reference set is correct and the
+    predicate stays at the join.
     """
-    expr = f"""
-    aggregate({coord}, 0, (acc, ring) -> acc + size(filter(
-        arrays_zip(slice(ring, 1, size(ring) - 1), slice(ring, 2, size(ring) - 1)),
-        e -> CASE WHEN ((e['0'][1] > {y}) != (e['1'][1] > {y}))
-                  THEN {x} < ((e['1'][0] - e['0'][0]) * ({y} - e['0'][1])
-                              / (e['1'][1] - e['0'][1]) + e['0'][0])
-                  ELSE false END
-    ))) % 2 = 1
-    """
-    return F.expr(expr)
+
+    def crossing(e: Column, px: Column, py: Column) -> Column:
+        ax, ay = e["0"][0], e["0"][1]
+        bx, by = e["1"][0], e["1"][1]
+        return F.when(
+            (ay > py) != (by > py),
+            px < ((bx - ax) * (py - ay) / (by - ay) + ax),
+        ).otherwise(F.lit(False))
+
+    def merge(acc: Column, ring: Column) -> Column:
+        n = F.size(ring)
+        edges = F.arrays_zip(F.slice(ring, 1, n - 1), F.slice(ring, 2, n - 1))
+        cnt = F.size(F.filter(edges, lambda e: crossing(e, acc["px"], acc["py"])))
+        return F.struct(
+            (acc["c"] + cnt).alias("c"),
+            acc["px"].alias("px"),
+            acc["py"].alias("py"),
+        )
+
+    zero = F.struct(F.lit(0).alias("c"), x.alias("px"), y.alias("py"))
+    total = F.aggregate(coord, zero, merge, lambda acc: acc["c"])
+    return total % 2 == 1
 
 
 def point_in_polygon(
@@ -107,10 +130,14 @@ def point_in_polygon(
     """
     if "cell_id" not in points.columns:
         points = cells.with_cell(points, grid, x=x, y=y)
-    index = polygon_covering_cells(polygons, grid)
-    cand = points.join(F.broadcast(index), "cell_id")
-    out_cols = point_cols or [c for c in points.columns if c != "cell_id"]
-    return (
-        cand.where(ray_cast_inside(x, y, "coord"))
-        .select(*out_cols, "geo_id")
+    index = F.broadcast(
+        polygon_covering_cells(polygons, grid).withColumnRenamed("cell_id", "_g_cell")
     )
+    # refine lives in the join condition: evaluated exactly at the hash
+    # join's probe, immune to pushdown/replan mangling
+    cond = (points["cell_id"] == index["_g_cell"]) & ray_cast_inside(
+        points[x], points[y], index["coord"]
+    )
+    cand = points.join(index, cond)
+    out_cols = point_cols or [c for c in points.columns if c != "cell_id"]
+    return cand.select(*[points[c] for c in out_cols], index["geo_id"])
