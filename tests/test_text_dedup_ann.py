@@ -1,0 +1,132 @@
+"""Training-data pipeline operators: text scoring, dedup family, ANN —
+with planted duplicates/neighbors so detection is actually asserted."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from trajlib_spark.operators import ann, dedup, text
+
+
+def test_word_count_matches_python(spark, docs):
+    got = docs.select("doc_id", "text", text.word_count(F.col("text")).alias("n")).collect()
+    for r in got:
+        assert r.n == r.text.count(" ") + 1
+
+
+def test_quality_fields(spark, docs):
+    q = text.with_quality(docs).limit(50).collect()
+    for r in q:
+        punct = sum(r.text.count(p) for p in text.PUNCT)
+        assert r.punct_ratio == pytest.approx(punct / max(len(r.text), 1))
+        assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_fingerprint_matches_python(spark, docs):
+    got = text.with_fingerprint(docs.limit(20)).collect()
+    for r in got:
+        assert r.fingerprint == text.fingerprint_py(r.text)
+
+
+def test_lang_id_on_planted_texts(spark):
+    rows = [
+        (1, "the cat and the dog of the house went to the market"),
+        (2, "a casa de pedra que fica perto de uma praia de areia"),
+        (3, "der hund und die katze und der vogel nicht hier"),
+        (4, "xyzzy plugh 12345"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in text.with_lang_id(df).collect()}
+    assert got[1] == "en" and got[2] == "pt" and got[3] == "de" and got[4] == "und"
+
+
+def _docs_with_dups(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog near the riverbank "
+        "while seventeen sailors watch from the old stone bridge in silence"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("seventeen", "nineteen")),  # near dup
+        (4, "completely different content about spark catalyst optimizer rules and shuffles everywhere"),
+        (5, "another unrelated document mentioning tile pyramids and mercator projections at length"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    d = _docs_with_dups(spark)
+    groups = {r.keeper: r.n_dups for r in dedup.exact_duplicates(d).collect()}
+    assert groups[1] == 2  # docs 1+2 collapse, keeper = min id
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    d = _docs_with_dups(spark)
+    sigs = dedup.minhash_signatures(d, num_perm=64)
+    cands = dedup.lsh_candidates(sigs, bands=16)
+    ver = dedup.ngram_jaccard_verify(d, cands, threshold=0.6)
+    pairs = {(r.i, r.j) for r in ver.collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs or (2, 3) in pairs
+    assert all(p[0] < p[1] for p in pairs)
+    # unrelated docs never verified
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_estimates_jaccard(spark):
+    d = _docs_with_dups(spark)
+    sigs = {r.doc_id: np.array(r.sig) for r in dedup.minhash_signatures(d, num_perm=128).collect()}
+    est = (sigs[1] == sigs[3]).mean()
+    ver = dedup.ngram_jaccard_verify(
+        d, spark.createDataFrame([(1, 3)], "i long, j long"), threshold=0.0
+    ).collect()[0]
+    assert est == pytest.approx(ver.jaccard, abs=0.15)
+
+
+def test_simhash_near_dup(spark):
+    d = _docs_with_dups(spark)
+    sigs = dedup.simhash_signatures(d)
+    out = {(r.i, r.j): r.hamming for r in dedup.simhash_candidates(sigs, max_hamming=20).collect()}
+    assert out.get((1, 2)) == 0  # identical text → identical simhash
+    assert (1, 3) in out  # near dup within hamming budget
+    # near-dup hamming clearly below unrelated-pair hamming (~32 expected)
+    assert out[(1, 3)] < 20
+    assert (4, 5) not in out or out.get((4, 5), 64) >= out[(1, 3)]
+
+
+def test_embedding_near_dups_planted(spark):
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=16)
+    rows = []
+    for i in range(20):
+        v = rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((100, [float(x) for x in base]))
+    rows.append((101, [float(x) for x in (base + rng.normal(scale=0.01, size=16))]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r.i, r.j) for r in dedup.embedding_near_dups(df, threshold=0.98).collect()}
+    assert (100, 101) in out
+
+
+def test_ann_exact_and_ivf(spark, embs):
+    qs = embs.where("vec_id % 100 = 0")
+    exact = ann.cosine_topk(embs, qs, k=10)
+    pdf = exact.toPandas()
+    assert (pdf.groupby("query_id")["rank"].max() == 10).all()
+    # numpy cross-check for one query
+    e = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in embs.collect()}
+    qid = int(pdf.query_id.iloc[0])
+    sims = sorted(
+        ((float(e[qid] @ v / (np.linalg.norm(e[qid]) * np.linalg.norm(v))), k)
+         for k, v in e.items() if k != qid),
+        key=lambda t: (-t[0], t[1]),
+    )
+    expect = [k for _, k in sims[:10]]
+    got = pdf[pdf.query_id == qid].sort_values("rank").neighbor_id.tolist()
+    assert got == expect
+    cents = ann.train_centroids(embs, n_list=8)
+    approx = ann.ivf_topk(embs, qs, k=10, centroids=cents, n_probe=8)
+    # probing all 8 lists = exhaustive → recall 1.0
+    assert ann.recall_at_k(approx, exact, 10) == pytest.approx(1.0)

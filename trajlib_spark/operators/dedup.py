@@ -193,15 +193,27 @@ def simhash_signatures(
     return docs.select(id_col, text).mapInPandas(run, f"{id_col} long, simhash long")
 
 
-def simhash_candidates(sigs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
-    """Candidate pairs with Hamming distance <= max_hamming, via 4×16-bit
-    band buckets (any pair within distance 3 shares at least one band)."""
+def simhash_candidates(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Candidate pairs with Hamming distance <= max_hamming, via banded
+    bucket joins on n_bands equal slices of the 64-bit signature. By the
+    pigeonhole principle any pair within distance n_bands - 1 shares at
+    least one untouched band, so n_bands defaults to max_hamming + 1
+    (guaranteed recall); fewer bands = cheaper but probabilistic."""
+    if n_bands is None:
+        n_bands = min(64, max_hamming + 1)
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))
-                for b in range(4)
+                F.shiftrightunsigned(F.col("simhash"), width * b).bitwiseAND(F.lit(mask))
+                for b in range(n_bands)
             ])
         ).alias("band_idx", "band_val"),
     )

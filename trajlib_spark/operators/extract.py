@@ -83,31 +83,59 @@ def pages_to_points(
     text_col: str = "text",
     bbox_filter: bool = True,
     project: bool = True,
+    method: str = "jvm",
 ) -> DataFrame:
     """(url, pos, ts_ms, lon, lat[, x, y]): one row per in-bbox coordinate
-    mention. The regex mining runs in an Arrow batch; everything after
-    (bbox predicate, 15-s cadence timestamps, Mercator projection) is pure
-    Catalyst so it fuses with downstream cell assignment."""
+    mention.
 
-    def mine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            urls, base_ms, poss, lats, lons = [], [], [], [], []
-            ts_ms = (pdf["warc_ts"].astype("int64") // 10**6).to_numpy()
-            for u, t, txt in zip(pdf["url"], ts_ms, pdf[text_col]):
-                for k, (la, lo) in enumerate(mine_coordinates_py(txt or "")):
-                    urls.append(u)
-                    base_ms.append(int(t))
-                    poss.append(k)
-                    lats.append(la)
-                    lons.append(lo)
-            yield pd.DataFrame(
-                {"url": urls, "base_ms": base_ms, "pos": poss,
-                 "lat": lats, "lon": lons}
+    method='jvm' (default, the hot path): regexp_extract_all +
+    posexplode — the whole mining stage stays inside whole-stage codegen,
+    no Python boundary at all. method='arrow' is the pandas-UDF twin
+    (same output, equality-tested) kept for parity with the pure-python
+    canonical miner. Everything downstream (bbox predicate, 15-s cadence
+    timestamps, Mercator projection) is pure Catalyst either way."""
+    if method == "jvm":
+        pat = r"(-?\d{1,3}\.\d{6}), (-?\d{1,3}\.\d{6})"
+        pts = (
+            pages.select(
+                "url",
+                F.unix_millis(F.col("warc_ts").cast("timestamp")).alias("base_ms"),
+                F.posexplode(
+                    F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+                ).alias("pos", "mention"),
             )
+            .select(
+                "url",
+                "base_ms",
+                "pos",
+                F.split("mention", ", ").getItem(0).cast("double").alias("lat"),
+                F.split("mention", ", ").getItem(1).cast("double").alias("lon"),
+            )
+        )
+    elif method == "arrow":
 
-    pts = pages.select("url", "warc_ts", text_col).mapInPandas(
-        mine, "url string, base_ms long, pos int, lat double, lon double"
-    )
+        def mine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                urls, base_ms, poss, lats, lons = [], [], [], [], []
+                ts_ms = (pdf["warc_ts"].astype("int64") // 10**6).to_numpy()
+                for u, t, txt in zip(pdf["url"], ts_ms, pdf[text_col]):
+                    for k, (la, lo) in enumerate(mine_coordinates_py(txt or "")):
+                        urls.append(u)
+                        base_ms.append(int(t))
+                        poss.append(k)
+                        lats.append(la)
+                        lons.append(lo)
+                yield pd.DataFrame(
+                    {"url": urls, "base_ms": base_ms, "pos": poss,
+                     "lat": lats, "lon": lons}
+                )
+
+        pts = pages.select("url", "warc_ts", text_col).mapInPandas(
+            mine, "url string, base_ms long, pos int, lat double, lon double"
+        )
+    else:
+        raise ValueError("method must be 'jvm' or 'arrow'")
+
     pts = pts.select(
         "url",
         "pos",

@@ -34,32 +34,47 @@ def tile_counts(
     x: str = "x",
     y: str = "y",
 ) -> DataFrame:
-    """(zoom, i_x, i_y, cell_id, cnt) per pyramid level. One aggregation
-    per level over the base indices (bit-shift rollup); map-side partial
-    aggregation keeps shuffles tiny."""
-    base = points.select(
-        cells.x_idx(F.col(x), F.col(y), grid).alias("bx"),
-        cells.y_idx(F.col(x), F.col(y), grid).alias("by"),
+    """(zoom, i_x, i_y, cell_id, cnt) per pyramid level, built as a
+    HIERARCHICAL rollup: the source is scanned exactly once for the finest
+    level, and every coarser level aggregates the previous level's (tiny)
+    cell table — parent count = sum of its 4 children. A per-level
+    groupBy over the source would rescan (and re-mine) the input once per
+    zoom, which at 100 TB is the whole cost of the query."""
+    zooms = sorted(zooms)
+    base = (
+        points.select(
+            cells.x_idx(F.col(x), F.col(y), grid).alias("bx"),
+            cells.y_idx(F.col(x), F.col(y), grid).alias("by"),
+        )
+        .groupBy("bx", "by")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     levels = []
+    prev = base  # at implicit zoom 0 resolution
+    prev_z = 0
     for z in zooms:
-        gz = grid.at_zoom(z)
-        lvl = (
-            base.select(
-                F.shiftright(F.col("bx"), z).alias("i_x"),
-                F.shiftright(F.col("by"), z).alias("i_y"),
+        shift = z - prev_z
+        if shift > 0:
+            prev = (
+                prev.select(
+                    F.shiftright(F.col("bx"), shift).alias("bx"),
+                    F.shiftright(F.col("by"), shift).alias("by"),
+                    "cnt",
+                )
+                .groupBy("bx", "by")
+                .agg(F.sum("cnt").alias("cnt"))
             )
-            .groupBy("i_x", "i_y")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .select(
+            prev_z = z
+        gz = grid.at_zoom(z)
+        levels.append(
+            prev.select(
                 F.lit(z).alias("zoom"),
-                "i_x",
-                "i_y",
-                cells.cell_id_from_idx(F.col("i_x"), F.col("i_y"), gz).alias("cell_id"),
-                "cnt",
+                F.col("bx").alias("i_x"),
+                F.col("by").alias("i_y"),
+                cells.cell_id_from_idx(F.col("bx"), F.col("by"), gz).alias("cell_id"),
+                F.col("cnt").alias("cnt"),
             )
         )
-        levels.append(lvl)
     out = levels[0]
     for lvl in levels[1:]:
         out = out.unionAll(lvl)
