@@ -455,6 +455,162 @@ FROM pairs
 """
 
 
+def q_cell_mbr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile geometry (get_mbr) for every occupied cell."""
+    pc = _points_cells(spark, sf_dir).select("i_x", "i_y", "cell_id").distinct()
+    mbr = cell_ops.cell_mbr(F.col("i_x"), F.col("i_y"), G)
+    return pc.select(
+        "cell_id",
+        F.round(mbr["x_lo"], 2).alias("x_lo_r"),
+        F.round(mbr["y_lo"], 2).alias("y_lo_r"),
+        F.round(mbr["x_hi"], 2).alias("x_hi_r"),
+        F.round(mbr["y_hi"], 2).alias("y_hi_r"),
+    )
+
+
+SQL_CELL_MBR = f"""{_PRELUDE}
+SELECT DISTINCT cell_id,
+  round({_L(G.x_min)} + {_L(G.x_unit)} * i_x, 2) AS x_lo_r,
+  round({_L(G.y_min)} + {_L(G.y_unit)} * i_y, 2) AS y_lo_r,
+  round(({_L(G.x_min)} + {_L(G.x_unit)} * i_x) + {_L(G.x_unit)}, 2) AS x_hi_r,
+  round(({_L(G.y_min)} + {_L(G.y_unit)} * i_y) + {_L(G.y_unit)}, 2) AS y_hi_r
+FROM cells
+"""
+
+
+def q_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size of each point's boundary-clipped k=2 ring window."""
+    pc = _points_cells(spark, sf_dir)
+    return pc.select(
+        "point_id",
+        F.size(
+            cell_ops.kring_cell_ids(F.col("i_x"), F.col("i_y"), G, 2)
+        ).cast("long").alias("ring_cells"),
+    )
+
+
+SQL_KRING = f"""{_PRELUDE}
+SELECT point_id,
+  (least(i_x + 2, {G.x_size - 1}) - greatest(i_x - 2, 0) + 1)
+  * (least(i_y + 2, {G.y_size - 1}) - greatest(i_y - 2, 0) + 1) AS ring_cells
+FROM cells
+"""
+
+
+def q_neighbour_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full adjacent-cell-pair enumeration (cell graph edges)."""
+    return cell_ops.neighbour_cell_pairs(spark, G)
+
+
+def _sql_neighbour_pairs() -> str:
+    xs, ys = G.x_size, G.y_size
+    base = f"""
+grid AS (
+  SELECT gx.ix AS i_x, gy.iy AS i_y
+  FROM generate_series(0, {xs - 1}) gx(ix), generate_series(0, {ys - 1}) gy(iy)
+)"""
+    sweeps = []
+    for dx, dy in ((0, 1), (1, 0), (1, 1), (1, -1)):
+        cond = []
+        if dx:
+            cond.append(f"i_x + {dx} BETWEEN 0 AND {xs - 1}")
+        cond.append(f"i_y + {dy} BETWEEN 0 AND {ys - 1}")
+        sweeps.append(
+            f"SELECT CAST(i_x * {ys} + i_y AS BIGINT) AS src_cell, "
+            f"CAST((i_x + {dx}) * {ys} + (i_y + {dy}) AS BIGINT) AS dst_cell "
+            f"FROM grid WHERE {' AND '.join(cond)}"
+        )
+    return "WITH " + base + "\n" + "\nUNION ALL\n".join(sweeps)
+
+
+SQL_NEIGHBOUR_PAIRS = _sql_neighbour_pairs()
+
+
+def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle step distances with the reference's 6367 km radius."""
+    from pyspark.sql import Window
+    from trajlib_spark.functions.geometry import haversine_m
+
+    pts = _points(spark, sf_dir)
+    w = Window.partitionBy("traj_id").orderBy("ts_ms", "point_id")
+    out = pts.select(
+        "point_id",
+        F.round(
+            haversine_m(F.lag("lon").over(w), F.lag("lat").over(w), F.col("lon"), F.col("lat")),
+            3,
+        ).alias("hav_r"),
+    )
+    return out.where(F.col("hav_r").isNotNull())
+
+
+SQL_HAVERSINE = f"""
+WITH pts AS ({synth.points_sql('duckdb')}),
+nbr AS (
+  SELECT point_id, radians(lon) AS rlon, radians(lat) AS rlat,
+         radians(lag(lon) OVER w) AS plon, radians(lag(lat) OVER w) AS plat
+  FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY ts_ms, point_id)
+)
+SELECT point_id,
+  round(((2.0e0 * asin(sqrt(
+      pow(sin((rlat - plat) / 2.0e0), 2.0e0)
+      + cos(plat) * cos(rlat) * pow(sin((rlon - plon) / 2.0e0), 2.0e0)
+  ))) * 6367000.0e0), 3) AS hav_r
+FROM nbr WHERE plon IS NOT NULL
+"""
+
+
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global population-σ z-score of the Mercator coordinates (the
+    reference's trajsimi normalization)."""
+    pts = _points(spark, sf_dir)
+    stats = pts.agg(
+        F.avg("x").alias("mx"), F.stddev_pop("x").alias("sx"),
+        F.avg("y").alias("my"), F.stddev_pop("y").alias("sy"),
+    ).collect()[0]
+    return pts.select(
+        "point_id",
+        F.round((F.col("x") - F.lit(stats.mx)) / F.lit(stats.sx), 6).alias("xz_r"),
+        F.round((F.col("y") - F.lit(stats.my)) / F.lit(stats.sy), 6).alias("yz_r"),
+    )
+
+
+SQL_ZSCORE = f"""
+WITH pts AS ({synth.points_sql('duckdb')})
+SELECT point_id,
+  round((x - avg(x) OVER ()) / stddev_pop(x) OVER (), 6) AS xz_r,
+  round((y - avg(y) OVER ()) / stddev_pop(y) OVER (), 6) AS yz_r
+FROM pts
+"""
+
+
+def q_traj_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-polyline view (cal_all_trajs) summarized to scalars."""
+    from trajlib_spark.data_model import cal_all_trajs
+
+    pts = _points(spark, sf_dir)
+    nested = cal_all_trajs(pts, attrs=("lon", "lat"))
+    return nested.select(
+        "traj_id",
+        F.col("n_points").cast("long").alias("n_points"),
+        F.round(F.element_at("lon_list", 1), 6).alias("head_lon_r"),
+        F.round(F.element_at("lat_list", -1), 6).alias("tail_lat_r"),
+    )
+
+
+SQL_TRAJ_NESTED = f"""
+WITH pts AS ({synth.points_sql('duckdb')}),
+rn AS (
+  SELECT traj_id, lon, lat,
+         row_number() OVER (PARTITION BY traj_id ORDER BY ts_ms, point_id) AS r
+  FROM pts
+)
+SELECT traj_id, count(*) AS n_points,
+       round(arg_min(lon, r), 6) AS head_lon_r,
+       round(arg_max(lat, r), 6) AS tail_lat_r
+FROM rn GROUP BY traj_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -585,6 +741,120 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
+def q_hit_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hit-ratio@10 between cosine top-10 and L2 top-10 neighbor sets —
+    the reference's hitting_ratio join shape."""
+    embs = _embs(spark, sf_dir)
+    qs = embs.where(F.col("vec_id") % 50 == 0)
+    cos = ann_ops.cosine_topk(embs, qs, k=10).select("query_id", "neighbor_id")
+    l2 = knn_like_l2_topk(embs, qs, k=10).select("query_id", "neighbor_id")
+    inter = cos.join(l2, ["query_id", "neighbor_id"]).count()
+    n_q = qs.count()
+    return spark.createDataFrame(
+        [(10, round(inter / (10.0 * n_q), 6))], "k long, hit_ratio double"
+    )
+
+
+def knn_like_l2_topk(embs: DataFrame, qs: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    q = qs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    c = embs.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a.cast("double") - b.cast("double"))
+                   * (a.cast("double") - b.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    pairs = F.broadcast(q).crossJoin(c).where(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        pairs.withColumn("d2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+SQL_HIT_RATIO = """
+WITH ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         sum(a.v * b.v) AS dot,
+         sum(a.v * a.v) AS na2, sum(b.v * b.v) AS nb2
+  FROM ex a JOIN ex b ON a.i = b.i
+  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+cosr AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dot / (sqrt(na2) * sqrt(nb2)) DESC, neighbor_id) AS r
+  FROM dots
+),
+l2r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY na2 + nb2 - 2 * dot, neighbor_id) AS r
+  FROM dots
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       round(CAST(count(*) AS DOUBLE)
+             / (10.0e0 * (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0)), 6) AS hit_ratio
+FROM (SELECT query_id, neighbor_id FROM cosr WHERE r <= 10) c
+JOIN (SELECT query_id, neighbor_id FROM l2r WHERE r <= 10) l
+USING (query_id, neighbor_id)
+"""
+
+
+def q_rank_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank of the designated true match (vec_id + 1) per query: count of
+    corpus vectors at L2 distance ≤ the target's (the reference's rank
+    metric join)."""
+    embs = _embs(spark, sf_dir)
+    qs = embs.where(F.col("vec_id") % 50 == 0)
+    d = knn_like_l2_topk(embs, qs, k=10**9)  # full ranking
+    target = d.where(F.col("neighbor_id") == F.col("query_id") + 1).select(
+        "query_id", F.col("d2").alias("target_d2")
+    )
+    # the corpus contains exact-duplicate vectors; compare on rounded d2 so
+    # both engines resolve those ties identically despite different
+    # summation orders
+    out = (
+        d.join(target, "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.round("d2", 6) <= F.round("target_d2", 6), 1).otherwise(0)
+            ).alias("rank")
+        )
+    )
+    return out
+
+
+SQL_RANK_METRIC = """
+WITH ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         sum(a.v * a.v) + sum(b.v * b.v) - 2 * sum(a.v * b.v) AS d2
+  FROM ex a JOIN ex b ON a.i = b.i
+  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+target AS (
+  SELECT query_id, d2 AS target_d2 FROM dots WHERE neighbor_id = query_id + 1
+)
+SELECT d.query_id,
+       CAST(sum(CASE WHEN round(d.d2, 6) <= round(t.target_d2, 6) THEN 1 ELSE 0 END) AS BIGINT) AS rank
+FROM dots d JOIN target t ON d.query_id = t.query_id
+GROUP BY d.query_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible; numpy-oracle-tested in tests/)
 # ---------------------------------------------------------------------------
@@ -673,6 +943,55 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_porto_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Porto CSV preprocess (missing/length/bbox filters + Mercator) over
+    the deterministic porto-shaped fixture (rows-only; semantics pytest-
+    checked against the reference filter rules)."""
+    from trajlib_spark.sources import porto
+
+    trips = porto.porto_fixture(spark, 300)
+    out = porto.clean_trips(trips)
+    return out.select(
+        "traj_id", F.col("trajlen").cast("long").alias("trajlen"),
+        F.round(F.element_at("merc_xs", 1), 2).alias("x0_r"),
+    )
+
+
+def q_porto_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYLINE explosion to the point table with 15-s cadence (rows-only)."""
+    from trajlib_spark.sources import porto
+
+    trips = porto.porto_fixture(spark, 200)
+    pts = porto.trips_to_points(trips.where(~F.col("MISSING_DATA")))
+    return pts.select(
+        "traj_id", F.col("pos").cast("long").alias("pos"), "ts_ms",
+        F.round("lon", 6).alias("lon_r"), F.round("lat", 6).alias("lat_r"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature plumbing over the deterministic fake
+    media table (rows-only)."""
+    from trajlib_spark.operators import multimodal
+
+    media = multimodal.make_media_table(spark, 200)
+    feats = multimodal.decode_features(media, decoder="fake", resize_to=8)
+    return feats.select(
+        "media_id", "kind",
+        F.round(F.aggregate("feat", F.lit(0.0), lambda a, v: a + v.cast("double")), 4).alias("feat_sum_r"),
+    )
+
+
+def q_polygon_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoRelation adjacency of polygons sharing a covering cell (rows-only)."""
+    from trajlib_spark.data_model import polygon_adjacency
+    from trajlib_spark.operators.spatial_join import polygon_covering_cells
+
+    polys = synth.synthetic_polygons(spark, sf_dir)
+    cov = polygon_covering_cells(polys, G)
+    return polygon_adjacency(cov)
+
+
 def q_pages_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pages-mining slice of the flagship pipeline (deterministic pages
     derived from the sf via a fixed N; rows-only — mining is regex/UDF)."""
@@ -714,6 +1033,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bearing": q_bearing,
         "traj_stats": q_traj_stats,
         "segment_pairs": q_segment_pairs,
+        "cell_mbr": q_cell_mbr,
+        "kring": q_kring,
+        "neighbour_pairs": q_neighbour_pairs,
+        "haversine": q_haversine,
+        "zscore_norm": q_zscore,
+        "traj_nested": q_traj_nested,
+        "hit_ratio": q_hit_ratio,
+        "rank_metric": q_rank_metric,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality_score": q_quality,
@@ -730,6 +1057,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "ann_ivf": q_ann_ivf,
         "pages_points": q_pages_points,
+        "porto_clean": q_porto_clean,
+        "porto_points": q_porto_points,
+        "media_features": q_media_features,
+        "polygon_adjacency": q_polygon_adjacency,
     }
 
 
@@ -747,6 +1078,14 @@ def oracle_sql() -> dict[str, str]:
         "bearing": SQL_BEARING,
         "traj_stats": SQL_TRAJ_STATS,
         "segment_pairs": SQL_SEGMENT_PAIRS,
+        "cell_mbr": SQL_CELL_MBR,
+        "kring": SQL_KRING,
+        "neighbour_pairs": SQL_NEIGHBOUR_PAIRS,
+        "haversine": SQL_HAVERSINE,
+        "zscore_norm": SQL_ZSCORE,
+        "traj_nested": SQL_TRAJ_NESTED,
+        "hit_ratio": SQL_HIT_RATIO,
+        "rank_metric": SQL_RANK_METRIC,
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_count": SQL_TOKEN_COUNT,
         "quality_score": SQL_QUALITY,
