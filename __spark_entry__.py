@@ -876,7 +876,13 @@ def q_rdp_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_edwp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = _points(spark, sf_dir).withColumn("fed_id", F.col("traj_id") % 5)
+    # EDwP's DP kernel is O(n·m) python per pair — block so each shard has
+    # ~6 trajectories (≈15 pairs) regardless of scale, the federation-bound
+    # pattern the reference uses to cap its own N² (data_loader.py:58)
+    pts = _points(spark, sf_dir)
+    n_traj = pts.select("traj_id").distinct().count()
+    n_blocks = max(5, n_traj // 6)
+    pts = pts.withColumn("fed_id", F.col("traj_id") % n_blocks)
     polys = simi_ops.collect_polylines(
         pts.select("traj_id", "fed_id", "ts_ms", "point_id", "x", "y")
     ).join(pts.select("traj_id", "fed_id").distinct(), "traj_id")
