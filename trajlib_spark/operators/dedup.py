@@ -29,13 +29,15 @@ def exact_duplicates(docs: DataFrame, text: str = "text", id_col: str = "doc_id"
 
 # --- shingling + MinHash ------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
-
-
 def _minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Multiply-shift style mixing family on Z_2^64: x → a·x + b with odd a
+    (wrapping uint64) is a bijection, so per-row minima estimate Jaccard
+    like the classic (a·x + b) mod p family — but the whole signature
+    matrix vectorizes as one numpy broadcast instead of object-dtype
+    big-int modmuls."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    a = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
     return a, b
 
 
@@ -79,20 +81,22 @@ def minhash_signatures(
     a, b = _minhash_params(num_perm, seed)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            sigs = []
-            for s in pdf[text]:
-                sh = _stable_shingles(s or "", shingle_k).astype(np.uint64)
-                if len(sh) == 0:
-                    sigs.append([0] * num_perm)
-                    continue
-                # (a*x + b) mod p, computed in python ints to avoid overflow
-                vals = (
-                    (sh[None, :].astype(object) * a[:, None].astype(object)
-                     + b[:, None].astype(object)) % _MERSENNE
-                ).min(axis=1)
-                sigs.append([int(v) for v in vals])
-            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+        old = np.seterr(over="ignore")  # uint64 wrap is the point
+        try:
+            for pdf in batches:
+                sigs = []
+                for s in pdf[text]:
+                    sh = _stable_shingles(s or "", shingle_k)
+                    if len(sh) == 0:
+                        sigs.append([0] * num_perm)
+                        continue
+                    mixed = sh[None, :] * a[:, None] + b[:, None]
+                    vals = mixed.min(axis=1)
+                    # store as signed 64-bit for the Spark LongType column
+                    sigs.append(vals.astype(np.int64).tolist())
+                yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+        finally:
+            np.seterr(**old)
 
     return docs.select(id_col, text).mapInPandas(
         run, f"{id_col} long, sig array<long>"
