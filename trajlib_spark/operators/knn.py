@@ -111,18 +111,28 @@ def knn_join(
     if exclude_self:
         cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
 
+    # The big candidate join runs exactly once: top-k shrinks it to
+    # queries × k rows, which are persisted, and both the exactness check
+    # and the fallback query set derive from that small table (everything
+    # downstream would otherwise re-execute the fan-join 2-3x).
     ranked = _topk(cand.select("query_id", "neighbor_id", "dist_sq"), k, "query_id")
+    ranked = ranked.persist()
 
-    # Exactness check: kth candidate must lie within the guaranteed horizon.
+    # Exactness: kth candidate within the guaranteed horizon — a window
+    # over the already-ranked rows, no self-join.
     horizon_sq = float(ring * min(grid.x_unit, grid.y_unit)) ** 2
-    per_q = ranked.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("found"), F.max("dist_sq").alias("kth_sq")
-    )
-    exact_q = per_q.where((F.col("found") == k) & (F.col("kth_sq") <= F.lit(horizon_sq)))
-    exact = ranked.join(F.broadcast(exact_q.select("query_id")), "query_id", "left_semi")
+    wq = Window.partitionBy("query_id")
+    flagged = ranked.withColumns({
+        "_found": F.count(F.lit(1)).over(wq),
+        "_kth": F.max("dist_sq").over(wq),
+    })
+    exact = flagged.where(
+        (F.col("_found") == k) & (F.col("_kth") <= F.lit(horizon_sq))
+    ).drop("_found", "_kth")
 
     # Brute-force remainder (rare; bounded by low-density tail queries).
-    missing = q.join(F.broadcast(exact_q.select("query_id")), "query_id", "left_anti")
+    exact_ids = exact.select("query_id").distinct()
+    missing = q.join(F.broadcast(exact_ids), "query_id", "left_anti")
     brute = missing.select("query_id", "qx", "qy").crossJoin(
         pts.select("neighbor_id", "nx", "ny")
     ).withColumn("dist_sq", dist_sq)

@@ -137,6 +137,53 @@ def similarity_join(
     return joined.mapInPandas(run, f"i {i_type}, j {i_type}, dist double")
 
 
+def measure_topk(
+    db_polys: DataFrame,
+    query_polys: DataFrame,
+    measure: str,
+    k: int,
+    eps: float = LCSS_EDR_EPS,
+    id_col: str = "traj_id",
+) -> DataFrame:
+    """kNN by a true trajectory measure (the reference's knn-by-EDwP/LCSS,
+    /root/reference/fedtraj/model/trainer/fed_trainer.py:445-452):
+    query × db pair table (query side broadcast — the reference caps
+    queries at 1000 for the same reason), DP kernel per pair in Arrow
+    batches, window top-k by (dist, neighbor). At scale, pre-filter the
+    pair table with a k-ring cell-block join before the kernel."""
+    from pyspark.sql import Window
+
+    q = query_polys.select(
+        F.col(id_col).alias("i"), F.col("xs").alias("xs_q"), F.col("ys").alias("ys_q")
+    )
+    db = db_polys.select(
+        F.col(id_col).alias("j"), F.col("xs").alias("xs_d"), F.col("ys").alias("ys_d")
+    )
+    joined = F.broadcast(q).crossJoin(db).where(F.col("i") != F.col("j"))
+    kern = _KERNELS[measure]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dists = np.empty(len(pdf))
+            for r in range(len(pdf)):
+                t1 = np.column_stack([pdf["xs_q"].iat[r], pdf["ys_q"].iat[r]])
+                t2 = np.column_stack([pdf["xs_d"].iat[r], pdf["ys_d"].iat[r]])
+                dists[r] = kern(t1, t2, eps)
+            yield pd.DataFrame(
+                {"query_id": pdf["i"], "neighbor_id": pdf["j"], "dist": dists}
+            )
+
+    i_type = dict(joined.dtypes)["i"]
+    scored = joined.mapInPandas(
+        run, f"query_id {i_type}, neighbor_id {i_type}, dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def symmetrize_normalize(dists: DataFrame) -> DataFrame:
     """(S + Sᵀ) / max — union the mirrored pairs and scale by the global
     max distance (/root/reference/fedtraj/model/trainer/
