@@ -949,6 +949,94 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fed_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional N-way federated shard assignment (np.array_split order)."""
+    trajs = _points(spark, sf_dir).select("traj_id").distinct()
+    return segment_ops.federated_split(trajs, 5, order=("traj_id",)).select(
+        "traj_id", F.col("fed_id").cast("long").alias("fed_id")
+    )
+
+
+SQL_FED_SPLIT = f"""
+WITH t AS (SELECT DISTINCT user_id AS traj_id FROM events),
+rn AS (
+  SELECT traj_id,
+         row_number() OVER (ORDER BY traj_id) AS r,
+         count(*) OVER () AS n
+  FROM t
+)
+SELECT traj_id,
+  CAST(CASE
+    -- np.array_split: first (n % 5) shards get floor(n/5)+1 rows
+    WHEN r <= (n % 5) * (n // 5 + 1)
+      THEN (r - 1) // (n // 5 + 1)
+    ELSE (n % 5) + ((r - 1) - (n % 5) * (n // 5 + 1)) // (n // 5)
+  END AS BIGINT) AS fed_id
+FROM rn
+"""
+
+
+def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted normalization stats (the reference's df.describe() step):
+    per-axis mean / population σ / min / max over all points."""
+    pts = _points(spark, sf_dir)
+    rows = []
+    for axis in ("x", "y"):
+        rows.append(
+            pts.agg(
+                F.lit(axis).alias("axis"),
+                F.round(F.avg(axis), 4).alias("mean_r"),
+                F.round(F.stddev_pop(axis), 4).alias("std_r"),
+                F.round(F.min(axis), 4).alias("min_r"),
+                F.round(F.max(axis), 4).alias("max_r"),
+            )
+        )
+    return rows[0].unionAll(rows[1])
+
+
+SQL_DESCRIBE = f"""
+WITH pts AS ({synth.points_sql('duckdb')})
+SELECT 'x' AS axis, round(avg(x), 4) AS mean_r, round(stddev_pop(x), 4) AS std_r,
+       round(min(x), 4) AS min_r, round(max(x), 4) AS max_r FROM pts
+UNION ALL
+SELECT 'y', round(avg(y), 4), round(stddev_pop(y), 4), round(min(y), 4), round(max(y), 4) FROM pts
+"""
+
+
+def q_augment_time_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic time_shift augmentation (p_i ← ¾p_i + ¼p_{i+1}) over
+    nested polylines — pure Catalyst zip_with."""
+    from trajlib_spark.operators import augment
+
+    pts = _points(spark, sf_dir)
+    polys = simi_ops.collect_polylines(pts.where(F.col("traj_id") < 8))
+    xs2, ys2 = augment.time_shift(F.col("xs"), F.col("ys"))
+    return polys.select(
+        "traj_id",
+        F.size(xs2).cast("long").alias("new_len"),
+        F.round(F.element_at(xs2, 1), 4).alias("x0_r"),
+        F.round(F.element_at(ys2, -1), 4).alias("yl_r"),
+    )
+
+
+SQL_AUGMENT_TIME_SHIFT = f"""
+WITH pts AS ({synth.points_sql('duckdb')}),
+rn AS (
+  SELECT traj_id, x, y,
+         row_number() OVER (PARTITION BY traj_id ORDER BY ts_ms, point_id) AS r,
+         count(*) OVER (PARTITION BY traj_id) AS n,
+         lead(x) OVER (PARTITION BY traj_id ORDER BY ts_ms, point_id) AS xn,
+         lead(y) OVER (PARTITION BY traj_id ORDER BY ts_ms, point_id) AS yn
+  FROM pts WHERE traj_id < 8
+)
+SELECT traj_id, CAST(n - 1 AS BIGINT) AS new_len,
+       round(arg_min(x * 0.75e0 + xn * 0.25e0, r), 4) AS x0_r,
+       round(arg_max(y * 0.75e0 + yn * 0.25e0, CASE WHEN r < n THEN r ELSE 0 END), 4) AS yl_r
+FROM rn WHERE r < n
+GROUP BY traj_id, n
+"""
+
+
 def q_porto_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Porto CSV preprocess (missing/length/bbox filters + Mercator) over
     the deterministic porto-shaped fixture (rows-only; semantics pytest-
@@ -1047,6 +1135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_nested": q_traj_nested,
         "hit_ratio": q_hit_ratio,
         "rank_metric": q_rank_metric,
+        "fed_split": q_fed_split,
+        "describe_stats": q_describe,
+        "augment_time_shift": q_augment_time_shift,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality_score": q_quality,
@@ -1092,6 +1183,9 @@ def oracle_sql() -> dict[str, str]:
         "traj_nested": SQL_TRAJ_NESTED,
         "hit_ratio": SQL_HIT_RATIO,
         "rank_metric": SQL_RANK_METRIC,
+        "fed_split": SQL_FED_SPLIT,
+        "describe_stats": SQL_DESCRIBE,
+        "augment_time_shift": SQL_AUGMENT_TIME_SHIFT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_count": SQL_TOKEN_COUNT,
         "quality_score": SQL_QUALITY,
