@@ -90,7 +90,7 @@ class TableStore:
             F.lit(self.run_id).alias("run_id"),
             F.lit(stage).alias("stage"),
             (F.dense_rank().over(Window.orderBy("_out_file")) - 1).alias("partition_id"),
-            F.lit(input_files).alias("input_files"),
+            F.lit(input_files).cast("array<string>").alias("input_files"),
             "row_count",
             F.lit(wall_ms).alias("wall_ms"),
             F.current_timestamp().alias("committed_at"),
