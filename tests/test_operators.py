@@ -219,3 +219,33 @@ def test_federated_split_positional(spark):
 
     sizes = collections.Counter(got)
     assert sorted(sizes.values(), reverse=True) == [4, 3, 3]
+
+
+def test_positional_split_and_pad(spark):
+    trajs = spark.createDataFrame([(f"{i:03d}",) for i in range(20)], "traj_id string")
+    out = segment.positional_split(
+        trajs, {"train": (0.0, 0.7), "eval": (0.7, 0.8), "test": (0.8, 1.0)}
+    )
+    import collections
+
+    counts = collections.Counter(r.split for r in out.collect())
+    assert counts == {"train": 14, "eval": 2, "test": 4}
+    polys = spark.createDataFrame(
+        [("t", [1.0, 2.0, 3.0], [4.0, 5.0, 6.0])],
+        "traj_id string, xs array<double>, ys array<double>",
+    )
+    padded = segment.pad_polylines(polys, 5).collect()[0]
+    assert padded.xs_pad == [1.0, 2.0, 3.0, 3.0, 3.0]
+    assert padded.ys_pad == [4.0, 5.0, 6.0, 6.0, 6.0]
+
+
+def test_ann_l1_metric(spark, embs):
+    import numpy as np
+    from trajlib_spark.operators import ann
+
+    qs = embs.where("vec_id % 200 = 0")
+    out = ann.cosine_topk(embs, qs, k=5, metric="l1").toPandas()
+    e = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in embs.collect()}
+    qid = int(out.query_id.iloc[0])
+    d = sorted((float(np.abs(e[qid] - v).sum()), j) for j, v in e.items() if j != qid)
+    assert out[out.query_id == qid].sort_values("rank").neighbor_id.tolist() == [j for _, j in d[:5]]

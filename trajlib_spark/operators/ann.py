@@ -35,6 +35,25 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _l1(a: Column, b: Column) -> Column:
+    """Manhattan distance — the reference's torch.cdist(…, p=1) embedding
+    metric (/root/reference/fedtraj/model/trainer/fed_trainer.py:344)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -42,18 +61,29 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """→ (query_id, neighbor_id, rank, cosine); rank by (cosine desc,
-    neighbor_id asc) for a deterministic total order."""
+    """→ (query_id, neighbor_id, rank, cosine); rank by (score, neighbor_id)
+    for a deterministic total order. metric ∈ {cosine, l2, l1} — l1 is the
+    reference's embedding-distance-matrix metric (cdist p=1)."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     pairs = F.broadcast(q).crossJoin(c)
     if exclude_self:
         pairs = pairs.where(F.col("neighbor_id") != F.col("query_id"))
-    scored = pairs.withColumn(
-        "cosine", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    if metric == "cosine":
+        score = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+        order = [F.desc("cosine"), F.asc("neighbor_id")]
+    elif metric == "l2":
+        score = F.sqrt(_l2sq(F.col("qv"), F.col("cv")))
+        order = [F.asc("cosine"), F.asc("neighbor_id")]
+    elif metric == "l1":
+        score = _l1(F.col("qv"), F.col("cv"))
+        order = [F.asc("cosine"), F.asc("neighbor_id")]
+    else:
+        raise ValueError("metric must be cosine | l2 | l1")
+    scored = pairs.withColumn("cosine", score)
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

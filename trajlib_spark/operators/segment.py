@@ -100,6 +100,47 @@ def simplify_trajectories(
     return src.groupBy(traj).applyInPandas(simp, schema)
 
 
+def positional_split(
+    df: DataFrame,
+    fractions: dict[str, tuple[float, float]],
+    order: tuple[str, ...] = ("traj_id",),
+) -> DataFrame:
+    """Deterministic train/eval/test slicing by positional fractions in
+    ``order`` — the reference's read_traj_dataset splits
+    (/root/reference/fedtraj/utils/data_loader.py:31-40: e.g. train
+    [0, 0.7), eval [0.7, 0.8), test [0.8, 1.0)). Adds a `split` column;
+    rows outside every range get NULL."""
+    w = Window.orderBy(*[F.col(c) for c in order])
+    n = df.count()
+    rn = F.row_number().over(w) - 1
+    expr = F.lit(None).cast("string")
+    for name, (lo, hi) in reversed(list(fractions.items())):
+        lo_i, hi_i = int(lo * n), int(hi * n)
+        expr = F.when((rn >= F.lit(lo_i)) & (rn < F.lit(hi_i)), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def pad_polylines(
+    polys: DataFrame,
+    max_len: int,
+    xs: str = "xs",
+    ys: str = "ys",
+) -> DataFrame:
+    """Pad nested polylines to ``max_len`` by repeating the last point —
+    the ML-boundary padding step (/root/reference/trajlib/dataset/
+    data_preprocessing.py:109-120), as a pure Catalyst transform (storage
+    stays variable-length; only the model-facing view is padded)."""
+
+    def pad(col: str) -> F.Column:
+        arr = F.col(col)
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(max_len)),
+            lambda i: F.element_at(arr, F.least(i, F.size(arr))),
+        )
+
+    return polys.withColumns({f"{xs}_pad": pad(xs), f"{ys}_pad": pad(ys)})
+
+
 def federated_split(
     trajs: DataFrame,
     fed_num: int,
