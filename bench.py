@@ -115,7 +115,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     scaling_mode = "--scaling" in sys.argv
     n_pages = pages_for_sf(sf_dir)
-    runs = 3 if scaling_mode else 2
+    runs = 3
 
     # Scaling pair N=4 / 4N=16: the box exposes 32 hardware threads, but
     # memory-streaming work saturates its bandwidth well before 32 threads

@@ -86,6 +86,10 @@ FROM (
 def synthetic_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of points_sql — identical text via the SQL API, so the
     plan is fully Catalyst-optimizable (scan-fused projections)."""
+    # The NTZ→TIMESTAMP cast inside points_sql is interpreted in the
+    # session timezone; DuckDB's epoch_ms over the same naive value is
+    # UTC. Pin it here so the caller's session config can't skew ts_ms.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     events.createOrReplaceTempView("ts_synth_events")
     return spark.sql(points_sql("spark", events="ts_synth_events"))
