@@ -193,3 +193,62 @@ def test_multimodal_plumbing(spark):
         multimodal.decode_features(media, decoder="real").collect()
     frames = multimodal.sample_frames(media, every_n=3)
     assert frames.count() > 0
+
+
+def test_salted_count_equivalence(spark, points):
+    from trajlib_spark.operators import raster
+    from trajlib_spark.config import PORTO_GRID
+
+    plain = raster.tile_counts(points, PORTO_GRID, zooms=(0, 2)).orderBy(
+        "zoom", "i_x", "i_y"
+    ).collect()
+    salted = raster.tile_counts(points, PORTO_GRID, zooms=(0, 2), salt=8).orderBy(
+        "zoom", "i_x", "i_y"
+    ).collect()
+    assert plain == salted
+
+
+def test_hot_keys_and_salting(spark):
+    from trajlib_spark.operators import skew
+
+    rows = [(1,)] * 900 + [(k,) for k in range(2, 102)]
+    df = spark.createDataFrame(rows, "k long")
+    hot = [r.k for r in skew.hot_keys(df, "k", threshold_frac=0.5).collect()]
+    assert hot == [1]
+    out = {r.k: r.cnt for r in skew.salted_count(df, ["k"], salt=8).collect()}
+    assert out[1] == 900 and out[50] == 1
+
+
+def test_streaming_stay_collapse(spark, tmp_path):
+    import pandas as pd
+
+    from trajlib_spark.streaming.stateful import streaming_stay_collapse
+
+    pdf = pd.DataFrame(
+        {
+            "traj_id": ["a"] * 4 + ["b"] * 2,
+            "point_id": [1, 2, 3, 4, 5, 6],
+            "ts_ms": [10, 20, 30, 40, 10, 20],
+            "cell_id": [7, 7, 9, 7, 3, 3],
+        }
+    )
+    src = str(tmp_path / "pts_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = spark.readStream.schema(
+        "traj_id string, point_id long, ts_ms long, cell_id long"
+    ).parquet(src)
+    q = (
+        streaming_stay_collapse(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("collapse_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.traj_id, r.point_id) for r in spark.sql("SELECT * FROM collapse_out").collect()
+    }
+    assert got == {("a", 1), ("a", 3), ("a", 4), ("b", 5)}
