@@ -615,6 +615,100 @@ FROM rn GROUP BY traj_id
 # training-data pipeline queries (documents / embeddings)
 # ---------------------------------------------------------------------------
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem — the general-OLAP
+    sanity anchor (groupBy + 6 aggregates + having-free ordering)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return out
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0e0 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join (customer ⋈ nation broadcast, orders shuffle) + agg +
+    top-k — the classic star-join shape."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(25)
+    )
+    return out
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, n_name, round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_custkey, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 25
+"""
+
+
+def q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running value sum ordered by time — the window-analytics
+    shape over the events stream table."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis(F.col("ts").cast("timestamp")), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+SQL_EVENTS_RUNNING = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS running_value
+FROM events
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.exact_duplicates(_docs(spark, sf_dir))
 
@@ -1138,6 +1232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fed_split": q_fed_split,
         "describe_stats": q_describe,
         "augment_time_shift": q_augment_time_shift,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "events_running": q_events_running,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality_score": q_quality,
@@ -1186,6 +1283,9 @@ def oracle_sql() -> dict[str, str]:
         "fed_split": SQL_FED_SPLIT,
         "describe_stats": SQL_DESCRIBE,
         "augment_time_shift": SQL_AUGMENT_TIME_SHIFT,
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        "top_customers": SQL_TOP_CUSTOMERS,
+        "events_running": SQL_EVENTS_RUNNING,
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_count": SQL_TOKEN_COUNT,
         "quality_score": SQL_QUALITY,
