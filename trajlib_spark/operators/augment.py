@@ -53,7 +53,6 @@ def scaling(xs: Column, ys: Column, rate: float) -> tuple[Column, Column]:
 
 
 def translate(xs: Column, ys: Column, angle: float, dist: float) -> tuple[Column, Column]:
-    import math
     dx, dy = float(np.cos(angle) * dist), float(np.sin(angle) * dist)
     return (
         F.transform(xs, lambda v: v + F.lit(dx)),

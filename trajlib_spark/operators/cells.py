@@ -15,8 +15,6 @@ Reference semantics (/root/reference/fedtraj/utils/cellspace.py):
 
 from __future__ import annotations
 
-import itertools
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 

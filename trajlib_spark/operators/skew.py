@@ -19,8 +19,6 @@ threshold so callers can salt only those (cheap count, pushdown-friendly).
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 

@@ -12,7 +12,6 @@ join; cell assignment is identical CellSpace arithmetic.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..config import PORTO_GRID
 from ..operators import cells, extract, raster, spatial_join, staypoints
