@@ -112,7 +112,10 @@ def measure_level(cores: int, sf_dir: str, n_pages: int, runs: int) -> list[floa
                       shuffle_partitions=cores,
                       extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)})
     pages_path = prepare_pages(spark, n_pages)
-    run_pipeline_once(spark, sf_dir, pages_path, n_pages)  # warm-up
+    # small warm-up (JIT + python workers); page cache warms on run 1,
+    # which min-of-runs discounts
+    warm_path = prepare_pages(spark, min(n_pages, 200_000))
+    run_pipeline_once(spark, sf_dir, warm_path, min(n_pages, 200_000))
     times = [run_pipeline_once(spark, sf_dir, pages_path, n_pages) for _ in range(runs)]
     stop_spark(spark)
     return times
@@ -139,7 +142,7 @@ def main() -> None:
     # with temporally-adjacent conditions; the median pair ratio is the
     # drift-cancelled efficiency estimate. Per-level minima still give the
     # least-interference throughput numbers.
-    pairs = 3 if scaling_mode else 2
+    pairs = 3 if scaling_mode else 1
     t_small, t_big, pair_eff = [], [], []
     for _ in range(pairs):
         a = min(measure_level(4, sf_dir, n_pages, 2))

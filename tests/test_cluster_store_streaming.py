@@ -252,3 +252,27 @@ def test_streaming_stay_collapse(spark, tmp_path):
         (r.traj_id, r.point_id) for r in spark.sql("SELECT * FROM collapse_out").collect()
     }
     assert got == {("a", 1), ("a", 3), ("a", 4), ("b", 5)}
+
+
+def test_trajlib_pipelines_end_to_end(spark, points):
+    import tempfile
+
+    from trajlib_spark.plans.trajlib_pipelines import run_all
+    from trajlib_spark.sources.store import TableStore
+
+    root = tempfile.mkdtemp()
+    try:
+        store = TableStore(root)
+        status = run_all(spark, points, store)
+        assert all(v == "computed" for v in status.values()), status
+        # every stage committed + resumable
+        status2 = run_all(spark, points, store)
+        assert all(v == "skipped" for v in status2.values()), status2
+        segs = store.load(spark, "seg_embedded")
+        assert segs.count() > 0 and len(segs.first()["emb"]) == 32
+        merged = store.load(spark, "clu_merged")
+        assert set(merged.columns) == {"fed_id", "label", "global_cluster"}
+        simi = store.load(spark, "pre_simi_matrix")
+        assert simi.agg(F.max("dist")).collect()[0][0] <= 1.0 + 1e-9
+    finally:
+        shutil.rmtree(root)
