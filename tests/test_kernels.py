@@ -164,3 +164,10 @@ def test_segment_distance_matrix_matches_reference_formulas():
     assert m[0, 1] == pytest.approx(d1 + d2 + d3, rel=1e-12)
     assert m[0, 1] == m[1, 0]
     assert m[0, 0] == 0.0
+
+
+@given(st.integers(0, 5_000), st.integers(2, 25), st.integers(2, 25))
+@settings(max_examples=25, deadline=None)
+def test_edwp_vectorized_bitwise_equal(seed, na, nb):
+    a, b = walk(seed, na), walk(seed + 7, nb)
+    assert dpk.edwp_distance_vec(a, b) == dpk.edwp_distance(a, b)
