@@ -171,3 +171,12 @@ def test_segment_distance_matrix_matches_reference_formulas():
 def test_edwp_vectorized_bitwise_equal(seed, na, nb):
     a, b = walk(seed, na), walk(seed + 7, nb)
     assert dpk.edwp_distance_vec(a, b) == dpk.edwp_distance(a, b)
+
+
+@given(st.integers(0, 5_000), st.integers(0, 20), st.integers(0, 20))
+@settings(max_examples=30, deadline=None)
+def test_lcss_edr_vectorized_equal(seed, na, nb):
+    a, b = walk(seed, max(na, 0) or 0), walk(seed + 3, max(nb, 0) or 0)
+    a, b = a[:na], b[:nb]
+    assert dpk.lcss_distance_vec(a, b, 40.0) == dpk.lcss_distance(a, b, 40.0)
+    assert dpk.edr_distance_vec(a, b, 40.0) == dpk.edr_distance(a, b, 40.0)

@@ -75,6 +75,51 @@ def edr_distance(t1: np.ndarray, t2: np.ndarray, eps: float) -> float:
     return float(prev[m]) / max(n, m)
 
 
+def _match_matrix(t1: np.ndarray, t2: np.ndarray, eps: float) -> np.ndarray:
+    return (np.abs(t1[:, None, 0] - t2[None, :, 0]) < eps) & (
+        np.abs(t1[:, None, 1] - t2[None, :, 1]) < eps
+    )
+
+
+def lcss_distance_vec(t1: np.ndarray, t2: np.ndarray, eps: float) -> float:
+    """Anti-diagonal LCS DP (integer-exact, equals lcss_distance):
+    D[i,j] = max(D[i-1,j], D[i,j-1], D[i-1,j-1] + match)."""
+    n, m = len(t1), len(t2)
+    if n == 0 or m == 0:
+        return 1.0
+    match = _match_matrix(t1, t2, eps).astype(np.int64)
+    D = np.zeros((n + 1, m + 1), dtype=np.int64)
+    for d in range(2, n + m + 1):
+        i = np.arange(max(1, d - m), min(n, d - 1) + 1)
+        j = d - i
+        D[i, j] = np.maximum(
+            np.maximum(D[i - 1, j], D[i, j - 1]),
+            D[i - 1, j - 1] + match[i - 1, j - 1],
+        )
+    return 1.0 - float(D[n, m]) / min(n, m)
+
+
+def edr_distance_vec(t1: np.ndarray, t2: np.ndarray, eps: float) -> float:
+    """Anti-diagonal EDR DP (integer-exact, equals edr_distance)."""
+    n, m = len(t1), len(t2)
+    if n == 0 and m == 0:
+        return 0.0
+    if n == 0 or m == 0:
+        return 1.0
+    miss = 1 - _match_matrix(t1, t2, eps).astype(np.int64)
+    D = np.zeros((n + 1, m + 1), dtype=np.int64)
+    D[0, :] = np.arange(m + 1)
+    D[:, 0] = np.arange(n + 1)
+    for d in range(2, n + m + 1):
+        i = np.arange(max(1, d - m), min(n, d - 1) + 1)
+        j = d - i
+        D[i, j] = np.minimum(
+            np.minimum(D[i - 1, j] + 1, D[i, j - 1] + 1),
+            D[i - 1, j - 1] + miss[i - 1, j - 1],
+        )
+    return float(D[n, m]) / max(n, m)
+
+
 # --- discrete Fréchet ------------------------------------------------------
 
 def discrete_frechet(t1: np.ndarray, t2: np.ndarray) -> float:

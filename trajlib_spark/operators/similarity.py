@@ -90,9 +90,9 @@ def pair_table(
 
 
 _KERNELS: dict[str, Callable] = {
-    "edwp": lambda t1, t2, eps: dpk.edwp_distance(t1, t2),
-    "lcss": lambda t1, t2, eps: dpk.lcss_distance(t1, t2, eps),
-    "edr": lambda t1, t2, eps: dpk.edr_distance(t1, t2, eps),
+    "edwp": lambda t1, t2, eps: dpk.edwp_distance_vec(t1, t2),
+    "lcss": lambda t1, t2, eps: dpk.lcss_distance_vec(t1, t2, eps),
+    "edr": lambda t1, t2, eps: dpk.edr_distance_vec(t1, t2, eps),
     "frechet": lambda t1, t2, eps: dpk.discrete_frechet(t1, t2),
     "hausdorff": lambda t1, t2, eps: dpk.hausdorff_distance(t1, t2),
 }
