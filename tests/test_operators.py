@@ -249,3 +249,66 @@ def test_ann_l1_metric(spark, embs):
     qid = int(out.query_id.iloc[0])
     d = sorted((float(np.abs(e[qid] - v).sum()), j) for j, v in e.items() if j != qid)
     assert out[out.query_id == qid].sort_values("rank").neighbor_id.tolist() == [j for _, j in d[:5]]
+
+
+def test_splits_match_array_split_property(spark):
+    """positional/federated splits must reproduce np.array_split semantics
+    for every (n, fed_num) — the partition-parallel rank must equal the
+    single-window rank (VERDICT r1 item 3)."""
+    for n, fed_num in [(1, 3), (7, 3), (10, 4), (53, 5), (100, 7)]:
+        trajs = spark.createDataFrame(
+            [(f"{i:04d}",) for i in range(n)], "traj_id string"
+        ).repartition(4)
+        got = {
+            r.traj_id: r.fed_id
+            for r in segment.federated_split(trajs, fed_num).collect()
+        }
+        expect = {}
+        for s, chunk in enumerate(np.array_split([f"{i:04d}" for i in range(n)], fed_num)):
+            for t in chunk:
+                expect[t] = s
+        assert got == expect, (n, fed_num)
+
+
+def _plan_has_cross_join(df) -> bool:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_knn_ring_doubling_no_cross_join(spark, points):
+    """Sparse/skewed density: under-filled queries re-fan at 2R, 4R, …
+    instead of falling back to an unbounded cross join (VERDICT r1 item 5)."""
+    sub = points.limit(50).cache()
+    qs = sub.limit(5)
+    out = knn.knn_join(sub, qs, G, k=10, ring=1)
+    assert not _plan_has_cross_join(out)
+    pdf = out.toPandas()
+    assert (pdf.groupby("query_id")["rank"].max() == 10).all()
+    # exactness against numpy on the same fixture
+    all_pts = sub.select("point_id", "x", "y").toPandas()
+    xy = all_pts[["x", "y"]].to_numpy()
+    ids = all_pts["point_id"].to_numpy()
+    for qid in pdf.query_id.unique():
+        qi = np.flatnonzero(ids == qid)[0]
+        d = ((xy - xy[qi]) ** 2).sum(1)
+        order = sorted((float(d[m]), int(ids[m])) for m in range(len(ids)) if ids[m] != qid)
+        expect = [nid for _, nid in order[:10]]
+        got = pdf[pdf.query_id == qid].sort_values("rank").neighbor_id.tolist()
+        assert got == expect, qid
+
+
+@pytest.mark.parametrize("measure", ["hausdorff", "frechet"])
+def test_measure_topk_pruned_matches_brute(spark, points, measure):
+    """The grid-pruned measure_topk is exact: equals the broadcast
+    brute-force path, with no cross join in the plan (VERDICT r1 item 4)."""
+    pts = points.where(F.col("traj_id") < 40)
+    polys = similarity.collect_polylines(pts).cache()
+    qs = polys.where(F.col("traj_id") % 8 == 0)
+    pruned = similarity.measure_topk(polys, qs, measure, k=5, grid=G, ring=2)
+    assert not _plan_has_cross_join(pruned)
+    brute = similarity.measure_topk(polys, qs, measure, k=5)
+    got = pruned.orderBy("query_id", "rank").select(
+        "query_id", "neighbor_id", "rank").collect()
+    expect = brute.orderBy("query_id", "rank").select(
+        "query_id", "neighbor_id", "rank").collect()
+    assert got == expect

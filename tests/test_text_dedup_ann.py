@@ -130,3 +130,51 @@ def test_ann_exact_and_ivf(spark, embs):
     approx = ann.ivf_topk(embs, qs, k=10, centroids=cents, n_probe=8)
     # probing all 8 lists = exhaustive → recall 1.0
     assert ann.recall_at_k(approx, exact, 10) == pytest.approx(1.0)
+
+
+def test_minhash_vectorized_matches_per_doc_reference(spark, docs):
+    """The batch-vectorized signature path must be bit-identical to the
+    straightforward per-document computation of the same family."""
+    from trajlib_spark.operators.dedup import _minhash_params, _stable_shingles
+
+    sub = docs.limit(40)
+    got = {r.doc_id: r.sig for r in dedup.minhash_signatures(sub).collect()}
+    a, b = _minhash_params(64, seed=1)
+    old = np.seterr(over="ignore")
+    try:
+        for r in sub.select("doc_id", "text").collect():
+            sh = _stable_shingles(r.text or "", 5)
+            mixed = sh[None, :] * a[:, None] + b[:, None]
+            expect = mixed.min(axis=1).astype(np.int64).tolist()
+            assert got[r.doc_id] == expect, r.doc_id
+    finally:
+        np.seterr(**old)
+
+
+def test_ivf_large_nlist_and_clustered_recall(spark):
+    """n_list in the hundreds must not blow codegen (assignment is an
+    Arrow-batched argmax, VERDICT r1 item 6), and on clustered data the
+    documented n_probe reaches recall ≥ 0.9."""
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(32, 16)) * 10.0
+    rows = []
+    for i in range(1280):
+        v = centers[i % 32] + rng.normal(scale=0.5, size=16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    qs = df.where("vec_id % 100 = 0")
+    # smoke: n_list larger than any inline-expression limit
+    cents_big = ann.train_centroids(df, n_list=512, sample=1280)
+    big = ann.ivf_topk(df, qs, k=5, centroids=cents_big, n_probe=8)
+    assert big.count() > 0
+    # recall on the realistic clustered corpus at documented n_probe=8
+    exact = ann.cosine_topk(df, qs, k=10)
+    cents = ann.train_centroids(df, n_list=32, sample=1280)
+    approx = ann.ivf_topk(df, qs, k=10, centroids=cents, n_probe=8)
+    assert ann.recall_at_k(approx, exact, 10) >= 0.9
+
+
+def test_train_centroids_deterministic_across_partitioning(spark, embs):
+    c1 = ann.train_centroids(embs.repartition(7), n_list=8)
+    c2 = ann.train_centroids(embs.coalesce(1), n_list=8)
+    assert np.array_equal(c1, c2)

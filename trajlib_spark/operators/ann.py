@@ -91,17 +91,33 @@ def cosine_topk(
     )
 
 
+SAMPLE_HASH_MULT = 2654435761
+SAMPLE_HASH_MOD = 999999937
+
+
 def train_centroids(
     corpus: DataFrame,
     n_list: int = 64,
     sample: int = 4096,
     iters: int = 8,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     seed: int = 11,
 ) -> np.ndarray:
     """Lloyd's iterations on a driver-side sample (centroid training is a
-    tiny fraction of corpus size; assignment stays distributed)."""
-    rows = corpus.select(vec_col).limit(sample).collect()
+    tiny fraction of corpus size; assignment stays distributed). The sample
+    is DETERMINISTIC across runs and partitionings: rows ordered by a fixed
+    multiplicative hash of the id (pure int64 arithmetic, reproducible
+    outside Spark for oracle parity)."""
+    rows = (
+        corpus.select(F.col(vec_col), F.col(id_col))
+        .orderBy(
+            (F.col(id_col).cast("long") * F.lit(SAMPLE_HASH_MULT)) % F.lit(SAMPLE_HASH_MOD),
+            F.col(id_col),
+        )
+        .limit(sample)
+        .collect()
+    )
     X = np.array([r[0] for r in rows], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -117,18 +133,41 @@ def train_centroids(
     return cent
 
 
-def _best_centroids(vec: Column, centroids: np.ndarray, n: int) -> Column:
-    """Array of the n nearest centroid ids (by dot with the normalized
-    centroid — equivalent to cosine ranking for fixed query)."""
-    sims = F.array(*[
-        F.struct(
-            _dot(vec, F.array(*[F.lit(float(v)) for v in c])).alias("sim"),
-            F.lit(i).alias("cid"),
-        )
-        for i, c in enumerate(centroids)
-    ])
-    top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
-    return F.transform(top, lambda s: s["cid"])
+def nearest_lists_py(X: np.ndarray, centroids: np.ndarray, n: int) -> np.ndarray:
+    """(rows, n) ids of the n highest-dot centroids per row — pure-numpy
+    reduction (no BLAS threading nondeterminism; for dim ≤ 128 numpy's sum
+    is a sequential fold, reproducible anywhere). Ties resolve to the
+    lowest centroid id (stable argsort)."""
+    sims = (X[:, None, :] * centroids[None, :, :]).sum(axis=2)
+    if n == 1:
+        return sims.argmax(axis=1)[:, None]
+    return np.argsort(-sims, axis=1, kind="stable")[:, :n]
+
+
+def _with_lists(
+    df: DataFrame, centroids: np.ndarray, n: int, vec_col: str, out: str,
+    chunk: int = 256,
+) -> DataFrame:
+    """Attach an array of the n nearest centroid ids via an Arrow-batched
+    UDF over a broadcast numpy matrix — linear work per row, no
+    O(n_list·dim) Catalyst expression (janino-safe at n_list ≥ 1024)."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = []
+            vecs = pdf[vec_col].to_numpy()
+            for lo in range(0, len(pdf), chunk):
+                part = np.stack(vecs[lo : lo + chunk]).astype(np.float64)
+                ids.extend(nearest_lists_py(part, C, n).tolist())
+            pdf = pdf.copy()
+            pdf[out] = ids
+            yield pdf
+
+    fields = ", ".join(f"{name} {dtype}" for name, dtype in df.dtypes)
+    return df.mapInPandas(run, f"{fields}, {out} array<int>")
 
 
 def ivf_topk(
@@ -144,11 +183,17 @@ def ivf_topk(
     """IVF approximate top-k: corpus rows live in their nearest-centroid
     list; queries probe their n_probe nearest lists; exact cosine + window
     top-k inside the probed union. Equi-join on list id — hash join, no
-    cross join against the full corpus."""
+    cross join against the full corpus. List assignment is an Arrow-batched
+    argmax over the broadcast centroid matrix (scales to any n_list; the
+    previous inline-literal expression broke codegen past ~100 lists)."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    c = c.withColumn("list_id", _best_centroids(F.col("cv"), centroids, 1)[0])
+    c = _with_lists(c, centroids, 1, "cv", "_lists").withColumn(
+        "list_id", F.col("_lists")[0]
+    ).drop("_lists")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    q = q.withColumn("probe", F.explode(_best_centroids(F.col("qv"), centroids, n_probe)))
+    q = _with_lists(q, centroids, n_probe, "qv", "_lists").withColumn(
+        "probe", F.explode("_lists")
+    ).drop("_lists")
     cand = q.join(c, q["probe"] == c["list_id"])
     if exclude_self:
         cand = cand.where(F.col("neighbor_id") != F.col("query_id"))

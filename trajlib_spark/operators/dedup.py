@@ -40,18 +40,6 @@ def _minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """64-bit hashes of the k-character shingles (lowercased)."""
-    s = text.lower()
-    if len(s) < k:
-        s = s + " " * (k - len(s))
-    n = len(s) - k + 1
-    out = np.empty(n, dtype=np.uint64)
-    for i in range(n):
-        out[i] = np.uint64(hash(s[i : i + k]) & 0xFFFFFFFFFFFFFFFF)
-    return np.unique(out)
-
-
 def _stable_shingles(text: str, k: int) -> np.ndarray:
     """Like _shingle_hashes but with a process-stable FNV-1a (python hash()
     of str is salted per process — useless across executors)."""
@@ -76,23 +64,50 @@ def minhash_signatures(
     id_col: str = "doc_id",
     seed: int = 1,
 ) -> DataFrame:
-    """(doc_id, sig array<long>) — classic (a·x + b) mod p row-wise min."""
+    """(doc_id, sig array<long>) — multiply-shift row-wise min, vectorized
+    ACROSS the whole Arrow batch: all docs' bytes are concatenated once,
+    FNV-1a runs over every k-byte window in k passes, cross-document
+    windows are masked to u64::MAX, and each permutation's per-doc minima
+    come from one ``np.minimum.reduceat`` — no per-document Python loop or
+    per-document (num_perm × n_shingles) allocation (that allocation
+    dominated the sf0.1 bench at ~2 ms/doc)."""
     a, b = _minhash_params(num_perm, seed)
+    u64max = np.uint64(0xFFFFFFFFFFFFFFFF)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         old = np.seterr(over="ignore")  # uint64 wrap is the point
         try:
             for pdf in batches:
-                sigs = []
-                for s in pdf[text]:
-                    sh = _stable_shingles(s or "", shingle_k)
-                    if len(sh) == 0:
-                        sigs.append([0] * num_perm)
-                        continue
-                    mixed = sh[None, :] * a[:, None] + b[:, None]
-                    vals = mixed.min(axis=1)
-                    # store as signed 64-bit for the Spark LongType column
-                    sigs.append(vals.astype(np.int64).tolist())
+                if not len(pdf):
+                    yield pd.DataFrame({id_col: pdf[id_col], "sig": []})
+                    continue
+                bs = [
+                    (s or "").lower().encode("utf-8", "ignore") for s in pdf[text]
+                ]
+                bs = [
+                    x if len(x) >= shingle_k else x + b" " * (shingle_k - len(x))
+                    for x in bs
+                ]
+                lens = np.array([len(x) for x in bs], dtype=np.int64)
+                arr = np.frombuffer(b"".join(bs), dtype=np.uint8).astype(np.uint64)
+                n_win = len(arr) - shingle_k + 1
+                h = np.full(n_win, np.uint64(1469598103934665603), dtype=np.uint64)
+                prime = np.uint64(1099511628211)
+                for off in range(shingle_k):
+                    h = (h ^ arr[off : off + n_win]) * prime
+                starts = np.zeros(len(bs), dtype=np.int64)
+                starts[1:] = np.cumsum(lens)[:-1]
+                counts = lens - shingle_k + 1
+                invalid = np.zeros(n_win, dtype=bool)
+                for d in range(len(bs) - 1):  # cross-doc windows never count
+                    invalid[starts[d] + counts[d] : starts[d + 1]] = True
+                sig = np.empty((num_perm, len(bs)), dtype=np.uint64)
+                for p in range(num_perm):
+                    mixed = h * a[p] + b[p]
+                    mixed[invalid] = u64max
+                    sig[p] = np.minimum.reduceat(mixed, starts)
+                # store as signed 64-bit for the Spark LongType column
+                sigs = sig.T.astype(np.int64).tolist()
                 yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
         finally:
             np.seterr(**old)
@@ -151,9 +166,16 @@ def ngram_jaccard_verify(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             jac = np.empty(len(pdf))
-            for r, (a, b) in enumerate(zip(pdf["t_i"], pdf["t_j"])):
-                sa = _stable_shingles(a or "", shingle_k)
-                sb = _stable_shingles(b or "", shingle_k)
+            cache: dict[int, np.ndarray] = {}  # docs repeat across pairs
+
+            def sh(key: int, t: str | None) -> np.ndarray:
+                if key not in cache:
+                    cache[key] = _stable_shingles(t or "", shingle_k)
+                return cache[key]
+
+            for r in range(len(pdf)):
+                sa = sh(pdf["i"].iat[r], pdf["t_i"].iat[r])
+                sb = sh(pdf["j"].iat[r], pdf["t_j"].iat[r])
                 inter = np.intersect1d(sa, sb, assume_unique=True).size
                 union = sa.size + sb.size - inter
                 jac[r] = inter / union if union else 1.0

@@ -88,59 +88,72 @@ def knn_join(
         "q_iy": cells.y_idx(F.col("qx"), F.col("qy"), grid),
     })
 
-    seq = F.sequence(F.lit(-ring), F.lit(ring))
-    fan = (
-        q.withColumn("dx", F.explode(seq))
-        .withColumn("dy", F.explode(seq))
-        .withColumn("c_ix", F.col("q_ix") + F.col("dx"))
-        .withColumn("c_iy", F.col("q_iy") + F.col("dy"))
-        .where(
-            (F.col("c_ix") >= 0)
-            & (F.col("c_ix") < F.lit(grid.x_size))
-            & (F.col("c_iy") >= 0)
-            & (F.col("c_iy") < F.lit(grid.y_size))
-        )
-        .withColumn("cell_id", cells.cell_id_from_idx(F.col("c_ix"), F.col("c_iy"), grid))
-        .select("query_id", "qx", "qy", "cell_id")
-    )
-
     dist_sq = (F.col("nx") - F.col("qx")) ** 2 + (F.col("ny") - F.col("qy")) ** 2
-    cand = fan.join(pts.select("neighbor_id", "nx", "ny", "cell_id"), "cell_id").withColumn(
-        "dist_sq", dist_sq
-    )
-    if exclude_self:
-        cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
 
-    # The big candidate join runs exactly once: top-k shrinks it to
-    # queries × k rows, which are persisted, and both the exactness check
-    # and the fallback query set derive from that small table (everything
-    # downstream would otherwise re-execute the fan-join 2-3x).
-    ranked = _topk(cand.select("query_id", "neighbor_id", "dist_sq"), k, "query_id")
-    ranked = ranked.persist()
+    def ranked_for(queries_df: DataFrame, r: int) -> DataFrame:
+        seq = F.sequence(F.lit(-r), F.lit(r))
+        fan = (
+            queries_df.withColumn("dx", F.explode(seq))
+            .withColumn("dy", F.explode(seq))
+            .withColumn("c_ix", F.col("q_ix") + F.col("dx"))
+            .withColumn("c_iy", F.col("q_iy") + F.col("dy"))
+            .where(
+                (F.col("c_ix") >= 0)
+                & (F.col("c_ix") < F.lit(grid.x_size))
+                & (F.col("c_iy") >= 0)
+                & (F.col("c_iy") < F.lit(grid.y_size))
+            )
+            .withColumn("cell_id", cells.cell_id_from_idx(F.col("c_ix"), F.col("c_iy"), grid))
+            .select("query_id", "qx", "qy", "cell_id")
+        )
+        cand = fan.join(pts.select("neighbor_id", "nx", "ny", "cell_id"), "cell_id").withColumn(
+            "dist_sq", dist_sq
+        )
+        if exclude_self:
+            cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
+        # The big candidate join runs exactly once per round: top-k shrinks
+        # it to queries × k rows, which are persisted, and both the
+        # exactness check and the next round's query set derive from that
+        # small table.
+        return _topk(cand.select("query_id", "neighbor_id", "dist_sq"), k, "query_id").persist()
 
-    # Exactness: kth candidate within the guaranteed horizon — a window
-    # over the already-ranked rows, no self-join.
-    horizon_sq = float(ring * min(grid.x_unit, grid.y_unit)) ** 2
-    wq = Window.partitionBy("query_id")
-    flagged = ranked.withColumns({
-        "_found": F.count(F.lit(1)).over(wq),
-        "_kth": F.max("dist_sq").over(wq),
-    })
-    exact = flagged.where(
-        (F.col("_found") == k) & (F.col("_kth") <= F.lit(horizon_sq))
-    ).drop("_found", "_kth")
+    # Iterative ring doubling (no cross join ever): start at the
+    # density-derived R; queries whose exactness bound fails re-fan at 2R,
+    # 4R, … until the window provably covers the whole grid, at which point
+    # every candidate set is the full cell-joined corpus and the top-k is
+    # exact by construction.
+    cover = max(grid.x_size, grid.y_size)  # window ⊇ grid from any anchor
+    remaining = q
+    results = []
+    r = ring
+    while True:
+        ranked = ranked_for(remaining, r)
+        if r >= cover:
+            results.append(ranked)
+            break
+        # Exactness: kth candidate within the guaranteed horizon — a window
+        # over the already-ranked rows, no self-join. Any point outside the
+        # R-window is > R·min_unit away.
+        horizon_sq = float(r * min(grid.x_unit, grid.y_unit)) ** 2
+        wq = Window.partitionBy("query_id")
+        flagged = ranked.withColumns({
+            "_found": F.count(F.lit(1)).over(wq),
+            "_kth": F.max("dist_sq").over(wq),
+        })
+        exact = flagged.where(
+            (F.col("_found") == k) & (F.col("_kth") <= F.lit(horizon_sq))
+        ).drop("_found", "_kth")
+        results.append(exact)
+        exact_ids = exact.select("query_id").distinct()
+        remaining = remaining.join(F.broadcast(exact_ids), "query_id", "left_anti")
+        if remaining.isEmpty():
+            break
+        r = min(2 * r, cover)
 
-    # Brute-force remainder (rare; bounded by low-density tail queries).
-    exact_ids = exact.select("query_id").distinct()
-    missing = q.join(F.broadcast(exact_ids), "query_id", "left_anti")
-    brute = missing.select("query_id", "qx", "qy").crossJoin(
-        pts.select("neighbor_id", "nx", "ny")
-    ).withColumn("dist_sq", dist_sq)
-    if exclude_self:
-        brute = brute.where(F.col("neighbor_id") != F.col("query_id"))
-    brute_ranked = _topk(brute.select("query_id", "neighbor_id", "dist_sq"), k, "query_id")
-
-    return exact.unionAll(brute_ranked)
+    out = results[0]
+    for part in results[1:]:
+        out = out.unionAll(part)
+    return out
 
 
 def hit_ratio(pred_topk: DataFrame, true_topk: DataFrame, k: int) -> float:

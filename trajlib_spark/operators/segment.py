@@ -98,6 +98,48 @@ def simplify_trajectories(
     return src.groupBy(traj).applyInPandas(simp, schema)
 
 
+def global_row_number(
+    df: DataFrame,
+    order: tuple[str, ...],
+    out: str = "_rn0",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """0-based global row number in ``order`` WITHOUT a single-task global
+    window: range-partition on the order keys (ascending partition ids hold
+    ascending key ranges), rank inside each partition in parallel, then add
+    per-partition offsets computed from a tiny count-per-partition job.
+    This is the two-pass zipWithIndex pattern — every stage is
+    partition-parallel, so it holds at any N. Returns (df + out column,
+    total row count). Deterministic when the order keys are unique."""
+    P = num_partitions or max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    d = df.repartitionByRange(P, *[F.col(c) for c in order]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    d = d.persist()
+    counts = {r["_pid"]: r["cnt"] for r in d.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        kv = []
+        for pid, off in offsets.items():
+            kv.extend([F.lit(pid), F.lit(off)])
+        off_expr = F.element_at(F.create_map(*kv), F.col("_pid"))
+    else:
+        off_expr = F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order])
+    return (
+        d.withColumn(out, (off_expr + F.row_number().over(w) - 1).cast("long"))
+        .drop("_pid"),
+        acc,
+    )
+
+
 def positional_split(
     df: DataFrame,
     fractions: dict[str, tuple[float, float]],
@@ -107,15 +149,15 @@ def positional_split(
     ``order`` — the reference's read_traj_dataset splits
     (/root/reference/fedtraj/utils/data_loader.py:31-40: e.g. train
     [0, 0.7), eval [0.7, 0.8), test [0.8, 1.0)). Adds a `split` column;
-    rows outside every range get NULL."""
-    w = Window.orderBy(*[F.col(c) for c in order])
-    n = df.count()
-    rn = F.row_number().over(w) - 1
+    rows outside every range get NULL. Ranking is partition-parallel
+    (global_row_number), never a single-task global window."""
+    d, n = global_row_number(df, order)
+    rn = F.col("_rn0")
     expr = F.lit(None).cast("string")
     for name, (lo, hi) in reversed(list(fractions.items())):
         lo_i, hi_i = int(lo * n), int(hi * n)
         expr = F.when((rn >= F.lit(lo_i)) & (rn < F.lit(hi_i)), F.lit(name)).otherwise(expr)
-    return df.withColumn("split", expr)
+    return d.withColumn("split", expr).drop("_rn0")
 
 
 def pad_polylines(
@@ -146,9 +188,9 @@ def federated_split(
 ) -> DataFrame:
     """Attach fed_id ∈ [0, fed_num): positional N-way split in ``order``
     (np.array_split semantics: the first n % fed_num shards get one extra
-    row). Deterministic given the order columns."""
-    w = Window.orderBy(*[F.col(c) for c in order])
-    n = trajs.count()
+    row). Deterministic given the order columns; ranking is
+    partition-parallel (global_row_number), never a single-task window."""
+    d, n = global_row_number(trajs, order)
     base, extra = divmod(n, fed_num)
     # row_number 1..n → shard via array_split boundaries
     boundaries = []
@@ -156,8 +198,8 @@ def federated_split(
     for s in range(fed_num):
         acc += base + (1 if s < extra else 0)
         boundaries.append(acc)
-    rn = F.row_number().over(w)
+    rn = F.col("_rn0") + 1
     expr = F.lit(fed_num - 1)
     for s in range(fed_num - 2, -1, -1):
         expr = F.when(rn <= F.lit(boundaries[s]), F.lit(s)).otherwise(expr)
-    return trajs.withColumn("fed_id", expr)
+    return d.withColumn("fed_id", expr).drop("_rn0")

@@ -137,6 +137,67 @@ def similarity_join(
     return joined.mapInPandas(run, f"i {i_type}, j {i_type}, dist double")
 
 
+def _score_pairs(
+    pairs: DataFrame, measure: str, eps: float,
+    q_cols: tuple[str, str] = ("xs_q", "ys_q"),
+    d_cols: tuple[str, str] = ("xs_d", "ys_d"),
+) -> DataFrame:
+    """(i, j, polylines) → (query_id, neighbor_id, dist) via the Arrow-
+    batched DP kernel."""
+    kern = _KERNELS[measure]
+    xq, yq = q_cols
+    xd, yd = d_cols
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dists = np.empty(len(pdf))
+            for r in range(len(pdf)):
+                t1 = np.column_stack([pdf[xq].iat[r], pdf[yq].iat[r]])
+                t2 = np.column_stack([pdf[xd].iat[r], pdf[yd].iat[r]])
+                dists[r] = kern(t1, t2, eps)
+            yield pd.DataFrame(
+                {"query_id": pdf["i"], "neighbor_id": pdf["j"], "dist": dists}
+            )
+
+    i_type = dict(pairs.dtypes)["i"]
+    return pairs.mapInPandas(
+        run, f"query_id {i_type}, neighbor_id {i_type}, dist double"
+    )
+
+
+def _traj_anchor(polys: DataFrame, id_alias: str, grid) -> DataFrame:
+    """(id, xs, ys, anchor cell indices, radius): anchor = MBR center,
+    radius = max point distance to the anchor — all Catalyst array
+    arithmetic, one pass over the nested polyline."""
+    ax = (F.array_min("xs") + F.array_max("xs")) / 2
+    ay = (F.array_min("ys") + F.array_max("ys")) / 2
+    d = polys.withColumns({"_ax": ax, "_ay": ay})
+    radius = F.sqrt(
+        F.array_max(
+            F.zip_with(
+                "xs", "ys",
+                lambda px, py: (px - F.col("_ax")) * (px - F.col("_ax"))
+                + (py - F.col("_ay")) * (py - F.col("_ay")),
+            )
+        )
+    )
+    from . import cells as cell_ops
+
+    return d.select(
+        F.col("traj_id").alias(id_alias),
+        "xs", "ys",
+        cell_ops.x_idx(F.col("_ax"), F.col("_ay"), grid).alias("a_ix"),
+        cell_ops.y_idx(F.col("_ax"), F.col("_ay"), grid).alias("a_iy"),
+        radius.alias("radius"),
+    )
+
+
+# Measures bounded below by the set-to-set minimum distance, which the
+# anchor/radius ring bound prunes exactly: for any pair outside ring R,
+# measure ≥ minDist(sets) ≥ d(anchors) − r_q − r_d > R·min_unit − r_q − r_d.
+_METRIC_MEASURES = frozenset({"frechet", "hausdorff"})
+
+
 def measure_topk(
     db_polys: DataFrame,
     query_polys: DataFrame,
@@ -144,44 +205,126 @@ def measure_topk(
     k: int,
     eps: float = LCSS_EDR_EPS,
     id_col: str = "traj_id",
+    grid=None,
+    ring: int | None = None,
 ) -> DataFrame:
     """kNN by a true trajectory measure (the reference's knn-by-EDwP/LCSS,
-    /root/reference/fedtraj/model/trainer/fed_trainer.py:445-452):
-    query × db pair table (query side broadcast — the reference caps
-    queries at 1000 for the same reason), DP kernel per pair in Arrow
-    batches, window top-k by (dist, neighbor). At scale, pre-filter the
-    pair table with a k-ring cell-block join before the kernel."""
+    /root/reference/fedtraj/model/trainer/fed_trainer.py:445-452) →
+    (query_id, neighbor_id, rank, dist).
+
+    With ``grid`` and a metric measure (Fréchet / Hausdorff, both ≥ the
+    set-to-set minimum distance): exact grid-pruned path. Each trajectory
+    gets an anchor cell (MBR center) + radius; candidates come from a
+    k-ring equi-join on anchor cells; a query is provably exact when its
+    kth distance ≤ R·min_unit − r_q − max_db_radius; unfinished queries
+    re-fan at 2R, 4R, … until the ring covers the grid — never a cross
+    join against the full corpus (the reference instead caps its db at
+    10 000, fed_trainer.py:447; the engine needs no cap).
+
+    Without ``grid`` (or for non-metric measures like normalized LCSS/EDR,
+    which admit no geometric bound): broadcast query × db pair table —
+    correct, bounded by the query count."""
     from pyspark.sql import Window
 
-    q = query_polys.select(
-        F.col(id_col).alias("i"), F.col("xs").alias("xs_q"), F.col("ys").alias("ys_q")
-    )
-    db = db_polys.select(
-        F.col(id_col).alias("j"), F.col("xs").alias("xs_d"), F.col("ys").alias("ys_d")
-    )
-    joined = F.broadcast(q).crossJoin(db).where(F.col("i") != F.col("j"))
-    kern = _KERNELS[measure]
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            dists = np.empty(len(pdf))
-            for r in range(len(pdf)):
-                t1 = np.column_stack([pdf["xs_q"].iat[r], pdf["ys_q"].iat[r]])
-                t2 = np.column_stack([pdf["xs_d"].iat[r], pdf["ys_d"].iat[r]])
-                dists[r] = kern(t1, t2, eps)
-            yield pd.DataFrame(
-                {"query_id": pdf["i"], "neighbor_id": pdf["j"], "dist": dists}
-            )
-
-    i_type = dict(joined.dtypes)["i"]
-    scored = joined.mapInPandas(
-        run, f"query_id {i_type}, neighbor_id {i_type}, dist double"
-    )
     w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+
+    def topk(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+
+    if grid is None or measure not in _METRIC_MEASURES:
+        q = query_polys.select(
+            F.col(id_col).alias("i"), F.col("xs").alias("xs_q"), F.col("ys").alias("ys_q")
+        )
+        db = db_polys.select(
+            F.col(id_col).alias("j"), F.col("xs").alias("xs_d"), F.col("ys").alias("ys_d")
+        )
+        joined = F.broadcast(q).crossJoin(db).where(F.col("i") != F.col("j"))
+        return topk(_score_pairs(joined, measure, eps))
+
+    db_anchored = _traj_anchor(db_polys.select(id_col, "xs", "ys"), "j", grid).persist()
+    db_cells = db_anchored.select(
+        "j", cell_id_expr("a_ix", "a_iy", grid).alias("cell_id")
     )
+    db_lines = db_anchored.select(
+        "j", F.col("xs").alias("xs_d"), F.col("ys").alias("ys_d")
+    )
+    r_dmax = float(db_anchored.agg(F.max("radius")).collect()[0][0])
+    q_all = _traj_anchor(query_polys.select(id_col, "xs", "ys"), "i", grid).persist()
+    q_lines = q_all.select("i", F.col("xs").alias("xs_q"), F.col("ys").alias("ys_q"))
+    r_qmin = float(q_all.agg(F.min("radius")).collect()[0][0])
+
+    cover = max(grid.x_size, grid.y_size)
+    min_unit = min(grid.x_unit, grid.y_unit)
+    # smallest ring whose exactness bound CAN be positive: below it every
+    # round's kernel work is wasted (whole-extent trajectories degrade
+    # gracefully to one full equi-join round — still never a cross join)
+    import math as _math
+
+    r_floor = int(_math.ceil((r_dmax + r_qmin) / min_unit)) + 1
+    r = min(max(ring or 4, r_floor), cover)
+    remaining = q_all.select("i", "a_ix", "a_iy", "radius")
+    results = []
+    while True:
+        seq = F.sequence(F.lit(-r), F.lit(r))
+        # fan SLIM rows only (id + cell); polylines re-attach after the
+        # cell join — never replicate the arrays (2r+1)² times
+        fan = (
+            remaining.withColumn("dx", F.explode(seq))
+            .withColumn("dy", F.explode(seq))
+            .withColumn("c_ix", F.col("a_ix") + F.col("dx"))
+            .withColumn("c_iy", F.col("a_iy") + F.col("dy"))
+            .where(
+                (F.col("c_ix") >= 0) & (F.col("c_ix") < F.lit(grid.x_size))
+                & (F.col("c_iy") >= 0) & (F.col("c_iy") < F.lit(grid.y_size))
+            )
+            .select("i", cell_id_expr("c_ix", "c_iy", grid).alias("cell_id"))
+        )
+        pairs = (
+            fan.join(db_cells, "cell_id")
+            .where(F.col("i") != F.col("j"))
+            .select("i", "j")
+            .join(q_lines, "i")
+            .join(db_lines, "j")
+        )
+        scored = _score_pairs(
+            pairs.select("i", "j", "xs_q", "ys_q", "xs_d", "ys_d"), measure, eps
+        )
+        ranked = topk(scored).persist()
+        if r >= cover:
+            results.append(ranked)
+            break
+        wq = Window.partitionBy("query_id")
+        qr = remaining.select(F.col("i").alias("query_id"), F.col("radius").alias("r_q"))
+        flagged = ranked.join(F.broadcast(qr), "query_id").withColumns({
+            "_found": F.count(F.lit(1)).over(wq),
+            "_kth": F.max("dist").over(wq),
+        })
+        # strict <: an excluded pair could tie the kth distance exactly and
+        # win the (dist, neighbor_id) tiebreak, so a tie is not provably exact
+        bound = F.lit(float(r * min_unit) - r_dmax) - F.col("r_q")
+        exact = flagged.where(
+            (F.col("_found") == k) & (F.col("_kth") < bound)
+        ).drop("_found", "_kth", "r_q")
+        results.append(exact)
+        exact_ids = exact.select("query_id").distinct()
+        remaining = remaining.join(
+            F.broadcast(exact_ids.withColumnRenamed("query_id", "i")), "i", "left_anti"
+        ).persist()
+        if remaining.isEmpty():
+            break
+        r = min(4 * r, cover)
+
+    out = results[0]
+    for part in results[1:]:
+        out = out.unionAll(part)
+    return out
+
+
+def cell_id_expr(ix: str, iy: str, grid) -> F.Column:
+    return (F.col(ix) * F.lit(grid.y_size) + F.col(iy)).cast("long")
 
 
 def symmetrize_normalize(dists: DataFrame) -> DataFrame:
