@@ -1,0 +1,632 @@
+"""Golden-oracle generator: recompute every rows-only query's expected
+output WITHOUT Spark — DuckDB for the shared synthetic derivations (the
+same SQL text the oracle queries use) and pure python/numpy for the
+algorithmic kernels — and commit the results as parquet under
+tests/golden/oracle/<sf>/<query>.parquet. ``oracle_sql()`` then serves
+them to the driver's DuckDB gate via read_parquet, giving TRACLUS / RDP /
+EDwP / LCSS / DBSCAN / MinHash / SimHash / IVF / porto / pages / media /
+adjacency the same hard rows+schema+hash signal as the SQL-expressible
+queries.
+
+Independence: the Spark side is never invoked. The numpy kernels reused
+here (kernels/traclus.py, kernels/rdp.py, kernels/dp_distances.py,
+kernels/clustering.py) are themselves pytest-verified against goldens
+captured from the reference implementation (tests/test_kernels.py), so the
+chain is reference → kernel → this generator, while the engine's Spark
+orchestration (grouping, blocking, pairing, bucketing, ranking) is
+recomputed independently in pandas/python.
+
+Usage: python tools/gen_golden.py [sf_dir ...]   (default sf0.001 sf0.01)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from trajlib_spark.config import (  # noqa: E402
+    DEG2RAD,
+    MAX_LAT,
+    MAX_LON,
+    MAX_TRAJ_LEN,
+    MIN_LAT,
+    MIN_LON,
+    MIN_TRAJ_LEN,
+    PORTO_GRID,
+    LAT_HASH_MULT,
+    LON_HASH_MULT,
+)
+from trajlib_spark.kernels.clustering import (  # noqa: E402
+    dbscan_precomputed,
+    segment_distance_matrix,
+    silhouette_from_matrix,
+)
+from trajlib_spark.kernels.dp_distances import (  # noqa: E402
+    discrete_frechet,
+    edwp_distance_vec,
+    hausdorff_distance,
+    lcss_distance_vec,
+)
+from trajlib_spark.kernels.rdp import rdp_mask  # noqa: E402
+from trajlib_spark.kernels.traclus import cut_segments, traclus_mask  # noqa: E402
+from trajlib_spark.operators.dedup import (  # noqa: E402
+    _minhash_params,
+    _stable_shingles,
+)
+from trajlib_spark.operators.text import fingerprint_py  # noqa: E402
+from trajlib_spark.sources import synth  # noqa: E402
+
+G = PORTO_GRID
+OUT_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                        "tests", "golden", "oracle")
+
+
+# --------------------------------------------------------------------------
+# inputs (DuckDB = the engine-independent derivation of the shared tables)
+# --------------------------------------------------------------------------
+
+def load_points(sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    return con.execute(synth.points_sql("duckdb")).df()
+
+
+def load_docs(sf_dir: str) -> pd.DataFrame:
+    return duckdb.sql(
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).df()
+
+
+def load_embs(sf_dir: str) -> pd.DataFrame:
+    return duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).df()
+
+
+def load_nation_keys(sf_dir: str) -> list[int]:
+    return [
+        int(v) for v in duckdb.sql(
+            f"SELECT n_nationkey FROM read_parquet('{sf_dir}/nation.parquet')"
+        ).df()["n_nationkey"]
+    ]
+
+
+def polylines(points: pd.DataFrame) -> dict[int, np.ndarray]:
+    """traj_id → (n, 2) float64, ordered by (ts_ms, point_id)."""
+    pts = points.sort_values(["traj_id", "ts_ms", "point_id"], kind="mergesort")
+    out = {}
+    for tid, g in pts.groupby("traj_id", sort=True):
+        out[int(tid)] = np.column_stack([g["x"].to_numpy(), g["y"].to_numpy()])
+    return out
+
+
+# --------------------------------------------------------------------------
+# trajectory-kernel queries
+# --------------------------------------------------------------------------
+
+def g_segment_cut(sf_dir: str) -> pd.DataFrame:
+    rows = []
+    for tid, tr in polylines(load_points(sf_dir)).items():
+        for k, (a, b) in enumerate(cut_segments(traclus_mask(tr))):
+            rows.append((str(tid), k, int(a), int(b), int(b - a + 1)))
+    df = pd.DataFrame(rows, columns=["traj_id", "seg_idx", "start_idx",
+                                     "end_idx", "n_points"])
+    for c in df.columns[1:]:
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def g_rdp_simplify(sf_dir: str) -> pd.DataFrame:
+    pts = load_points(sf_dir).sort_values(
+        ["traj_id", "ts_ms", "point_id"], kind="mergesort"
+    )
+    rows = []
+    for tid, g in pts.groupby("traj_id", sort=True):
+        tr = np.column_stack([g["x"].to_numpy(), g["y"].to_numpy()])
+        keep = rdp_mask(tr, 100.0)
+        for pid in g["point_id"].to_numpy()[keep]:
+            rows.append((str(tid), int(pid)))
+    df = pd.DataFrame(rows, columns=["traj_id", "point_id"])
+    df["point_id"] = df["point_id"].astype("int64")
+    return df
+
+
+def _block_pairs(tids: list[int], fed_of) -> list[tuple[int, int]]:
+    by_fed: dict[int, list[int]] = {}
+    for t in tids:
+        by_fed.setdefault(fed_of(t), []).append(t)
+    pairs = []
+    for members in by_fed.values():
+        ms = sorted(members)
+        for a in range(len(ms)):
+            for b in range(a + 1, len(ms)):
+                pairs.append((ms[a], ms[b]))
+    return pairs
+
+
+def g_similarity_edwp(sf_dir: str) -> pd.DataFrame:
+    pls = polylines(load_points(sf_dir))
+    n_blocks = max(5, len(pls) // 6)
+    rows = [
+        (i, j, round(edwp_distance_vec(pls[i], pls[j]), 3))
+        for i, j in _block_pairs(list(pls), lambda t: t % n_blocks)
+    ]
+    return pd.DataFrame(rows, columns=["i", "j", "dist_r"]).astype(
+        {"i": "int64", "j": "int64"}
+    )
+
+
+def g_similarity_lcss(sf_dir: str) -> pd.DataFrame:
+    pts = load_points(sf_dir)
+    mx, sx = pts["x"].mean(), pts["x"].std(ddof=0)
+    my, sy = pts["y"].mean(), pts["y"].std(ddof=0)
+    pls = {
+        t: np.column_stack([(tr[:, 0] - mx) / sx, (tr[:, 1] - my) / sy])
+        for t, tr in polylines(pts).items()
+    }
+    rows = [
+        (i, j, round(lcss_distance_vec(pls[i], pls[j], 0.25), 6))
+        for i, j in _block_pairs(list(pls), lambda t: t % 5)
+    ]
+    return pd.DataFrame(rows, columns=["i", "j", "dist_r"]).astype(
+        {"i": "int64", "j": "int64"}
+    )
+
+
+def _pair_frame(sf_dir: str, kern, digits: int) -> pd.DataFrame:
+    pls = polylines(load_points(sf_dir))
+    rows = [
+        (i, j, round(kern(pls[i], pls[j]), digits))
+        for i, j in _block_pairs(list(pls), lambda t: t % 5)
+    ]
+    return pd.DataFrame(rows, columns=["i", "j", "dist_r"]).astype(
+        {"i": "int64", "j": "int64"}
+    )
+
+
+def g_similarity_frechet(sf_dir: str) -> pd.DataFrame:
+    return _pair_frame(sf_dir, discrete_frechet, 3)
+
+
+def g_similarity_hausdorff(sf_dir: str) -> pd.DataFrame:
+    return _pair_frame(sf_dir, hausdorff_distance, 3)
+
+
+def g_measure_topk(sf_dir: str, k: int = 5, every: int = 30) -> pd.DataFrame:
+    """Brute-force Hausdorff kNN — the oracle for the grid-pruned path."""
+    pls = polylines(load_points(sf_dir))
+    rows = []
+    for q in sorted(t for t in pls if t % every == 0):
+        scored = sorted(
+            (hausdorff_distance(pls[q], pls[j]), j) for j in pls if j != q
+        )
+        for r, (d, j) in enumerate(scored[:k], start=1):
+            rows.append((q, j, r, round(d, 3)))
+    return pd.DataFrame(
+        rows, columns=["query_id", "neighbor_id", "rank", "dist_r"]
+    ).astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
+
+
+# --------------------------------------------------------------------------
+# segment clustering (+ silhouette)
+# --------------------------------------------------------------------------
+
+def _segments_table(sf_dir: str) -> pd.DataFrame:
+    """Mirror of q_cluster_segments' segment derivation (fed, ids, endpoints,
+    synthetic embedding) from the TRACLUS cut."""
+    rows = []
+    for tid, tr in polylines(load_points(sf_dir)).items():
+        for k, (a, b) in enumerate(cut_segments(traclus_mask(tr))):
+            if b - a + 1 < 2:
+                continue
+            emb = np.sin(k * 0.7 + np.arange(32) * 0.31)
+            rows.append(
+                (int(tid % 5), int(tid) * 1000 + k,
+                 tr[a, 0], tr[a, 1], tr[b, 0], tr[b, 1], emb)
+            )
+    return pd.DataFrame(
+        rows, columns=["fed_id", "segment_id", "start_x", "start_y",
+                       "end_x", "end_y", "emb"],
+    )
+
+
+def _labels_for_block(seg: pd.DataFrame, eps: float = 50000.0) -> tuple[np.ndarray, np.ndarray]:
+    seg = seg.sort_values("segment_id", kind="mergesort")
+    starts = seg[["start_x", "start_y"]].to_numpy()
+    ends = seg[["end_x", "end_y"]].to_numpy()
+    embs = np.stack(seg["emb"].to_numpy())
+    dist = segment_distance_matrix(starts, ends, embs, 1.0, 1.0, 1.0)
+    return dist, dbscan_precomputed(dist, eps, 2)
+
+
+def g_cluster_segments(sf_dir: str) -> pd.DataFrame:
+    segs = _segments_table(sf_dir)
+    rows = []
+    for fed, g in segs.groupby("fed_id", sort=True):
+        g = g.sort_values("segment_id", kind="mergesort")
+        _, labels = _labels_for_block(g)
+        for sid, lab in zip(g["segment_id"], labels):
+            rows.append((int(fed), int(sid), int(lab)))
+    return pd.DataFrame(rows, columns=["fed_id", "segment_id", "label"]).astype(
+        {"fed_id": "int64", "segment_id": "int64", "label": "int64"}
+    )
+
+
+SILHOUETTE_EPS = 4000.0  # multi-cluster regime (eps=50000 → 1 cluster → NaN)
+
+
+def g_silhouette(sf_dir: str) -> pd.DataFrame:
+    """Silhouette of fed-block 0's DBSCAN labeling (sklearn semantics:
+    noise = its own cluster, singletons score 0)."""
+    seg0 = _segments_table(sf_dir).query("fed_id == 0")
+    dist, labels = _labels_for_block(seg0, eps=SILHOUETTE_EPS)
+    sil = silhouette_from_matrix(dist, labels)
+    return pd.DataFrame(
+        {"n": np.array([len(labels)], dtype="int64"),
+         "silhouette_r": [round(sil, 4)]}
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup / text
+# --------------------------------------------------------------------------
+
+def _doc_shingle_hashes(docs: pd.DataFrame, k: int = 5) -> dict[int, np.ndarray]:
+    return {
+        int(d): _stable_shingles(t or "", k)
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+
+
+def g_minhash_lsh(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                  threshold: float = 0.5) -> pd.DataFrame:
+    docs = load_docs(sf_dir)
+    sh = _doc_shingle_hashes(docs)
+    a, b = _minhash_params(num_perm, seed=1)
+    old = np.seterr(over="ignore")
+    try:
+        sigs = {
+            d: (s[None, :] * a[:, None] + b[:, None]).min(axis=1)
+            for d, s in sh.items()
+        }
+    finally:
+        np.seterr(**old)
+    width = num_perm // bands
+    buckets: dict[tuple[int, bytes], list[int]] = {}
+    for d, sig in sigs.items():
+        for bi in range(bands):
+            key = (bi, sig[bi * width : (bi + 1) * width].tobytes())
+            buckets.setdefault(key, []).append(d)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((ms[x], ms[y]))
+    rows = []
+    for i, j in sorted(cand):
+        inter = np.intersect1d(sh[i], sh[j], assume_unique=True).size
+        union = sh[i].size + sh[j].size - inter
+        jac = inter / union if union else 1.0
+        if jac >= threshold:
+            rows.append((i, j, round(jac, 4)))
+    return pd.DataFrame(rows, columns=["i", "j", "jaccard_r"]).astype(
+        {"i": "int64", "j": "int64"}
+    )
+
+
+def g_simhash(sf_dir: str, max_hamming: int = 10) -> pd.DataFrame:
+    docs = load_docs(sf_dir)
+    sh = _doc_shingle_hashes(docs)
+    sigs = {}
+    for d, s in sh.items():
+        if len(s) == 0:
+            sigs[d] = np.uint64(0)
+            continue
+        bits = ((s[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        val = np.uint64(0)
+        for bit in range(64):
+            if acc[bit] > 0:
+                val |= np.uint64(1) << np.uint64(bit)
+        sigs[d] = val
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d, sig in sigs.items():
+        for bi in range(n_bands):
+            key = (bi, int((sig >> np.uint64(width * bi)) & mask))
+            buckets.setdefault(key, []).append(d)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((ms[x], ms[y]))
+    rows = []
+    for i, j in sorted(cand):
+        ham = int(bin(int(sigs[i] ^ sigs[j])).count("1"))
+        if ham <= max_hamming:
+            rows.append((i, j, ham))
+    return pd.DataFrame(rows, columns=["i", "j", "hamming"]).astype(
+        {"i": "int64", "j": "int64", "hamming": "int64"}
+    )
+
+
+def g_doc_fingerprint(sf_dir: str) -> pd.DataFrame:
+    docs = load_docs(sf_dir)
+    return pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "fingerprint": np.array(
+                [fingerprint_py(t or "") for t in docs["text"]], dtype="int64"
+            ),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF ANN
+# --------------------------------------------------------------------------
+
+def _fold_dot(a, b) -> float:
+    """Exact left-to-right fold, the same order as Catalyst F.aggregate."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def g_ann_ivf(sf_dir: str, n_list: int = 32, n_probe: int = 8,
+              k: int = 10) -> pd.DataFrame:
+    from trajlib_spark.operators.ann import (
+        SAMPLE_HASH_MOD,
+        SAMPLE_HASH_MULT,
+        nearest_lists_py,
+    )
+
+    embs = load_embs(sf_dir)
+    ids = embs["vec_id"].astype("int64").to_numpy()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in embs["embedding"]])
+    # deterministic training sample: same hash order as train_centroids
+    order = np.lexsort((ids, (ids * SAMPLE_HASH_MULT) % SAMPLE_HASH_MOD))
+    S = X[order[:4096]]
+    Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(11)
+    cent = Sn[rng.choice(len(Sn), min(n_list, len(Sn)), replace=False)]
+    for _ in range(8):
+        sims = Sn @ cent.T
+        assign = sims.argmax(axis=1)
+        for ci in range(len(cent)):
+            m = assign == ci
+            if m.any():
+                v = Sn[m].mean(axis=0)
+                cent[ci] = v / max(np.linalg.norm(v), 1e-12)
+    list_id = nearest_lists_py(X, cent, 1)[:, 0]
+    members: dict[int, list[int]] = {}
+    for row, li in enumerate(list_id):
+        members.setdefault(int(li), []).append(row)
+    qrows = np.flatnonzero(ids % 50 == 0)
+    out = []
+    for qi in qrows:
+        probes = nearest_lists_py(X[qi : qi + 1], cent, n_probe)[0]
+        scored = []
+        qv = X[qi]
+        qn = math.sqrt(_fold_dot(qv, qv))
+        for li in probes:
+            for row in members.get(int(li), []):
+                if ids[row] == ids[qi]:
+                    continue
+                cv = X[row]
+                cos = _fold_dot(qv, cv) / (qn * math.sqrt(_fold_dot(cv, cv)))
+                scored.append((-cos, int(ids[row])))
+        scored.sort()
+        for r, (_, nid) in enumerate(scored[:k], start=1):
+            out.append((int(ids[qi]), nid, r))
+    return pd.DataFrame(out, columns=["query_id", "neighbor_id", "rank"]).astype(
+        {"query_id": "int64", "neighbor_id": "int64", "rank": "int64"}
+    )
+
+
+# --------------------------------------------------------------------------
+# pages / porto / media / polygons
+# --------------------------------------------------------------------------
+
+_COORD_RE = re.compile(r"(-?\d{1,3}\.\d{6}), (-?\d{1,3}\.\d{6})")
+
+
+def g_pages_points(sf_dir: str) -> pd.DataFrame:
+    from trajlib_spark.sources.pages import make_page
+
+    n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 100000}.get(
+        sf_dir.rstrip("/").rsplit("/", 1)[-1], 2000
+    )
+    rows = []
+    for i in range(n):
+        url, ts_ms, _html, text, _lang = make_page(i, skew=False)
+        for pos, (a, b) in enumerate(_COORD_RE.findall(text)):
+            lat, lon = float(a), float(b)
+            if not (MIN_LON < lon < MAX_LON and MIN_LAT < lat < MAX_LAT):
+                continue
+            x = 6378137.0 * (lon * DEG2RAD)
+            s = math.sin(lat * DEG2RAD)
+            y = 3189068.5 * math.log((1.0 + s) / (1.0 - s))
+            ix = int(math.floor(math.floor(x - G.x_min) / G.x_unit))
+            iy = int(math.floor(math.floor(y - G.y_min) / G.y_unit))
+            rows.append((url, pos, ts_ms + pos * 15000, ix * G.y_size + iy))
+    return pd.DataFrame(
+        rows, columns=["url", "pos", "ts_ms", "cell_id"]
+    ).astype({"pos": "int64", "ts_ms": "int64", "cell_id": "int64"})
+
+
+def g_porto_clean(sf_dir: str) -> pd.DataFrame:
+    import json as _json
+
+    from trajlib_spark.sources.porto import porto_fixture_rows
+
+    rows = []
+    for r in porto_fixture_rows(300, seed=42):
+        trip_id, missing, poly = r[0], r[7], _json.loads(r[8])
+        if missing:
+            continue
+        if not (MIN_TRAJ_LEN <= len(poly) <= MAX_TRAJ_LEN):
+            continue
+        if not all(
+            MIN_LON < p[0] < MAX_LON and MIN_LAT < p[1] < MAX_LAT for p in poly
+        ):
+            continue
+        x0 = 6378137.0 * (poly[0][0] * DEG2RAD)
+        rows.append((trip_id, len(poly), round(x0, 2)))
+    return pd.DataFrame(rows, columns=["traj_id", "trajlen", "x0_r"]).astype(
+        {"trajlen": "int64"}
+    )
+
+
+def g_porto_points(sf_dir: str) -> pd.DataFrame:
+    import json as _json
+
+    from trajlib_spark.sources.porto import porto_fixture_rows
+
+    rows = []
+    for r in porto_fixture_rows(200, seed=42):
+        trip_id, base_s, missing, poly = r[0], r[5], r[7], _json.loads(r[8])
+        if missing:
+            continue
+        for pos, p in enumerate(poly):
+            rows.append(
+                (trip_id, pos, (base_s + 15 * pos) * 1000,
+                 round(p[0], 6), round(p[1], 6))
+            )
+    return pd.DataFrame(
+        rows, columns=["traj_id", "pos", "ts_ms", "lon_r", "lat_r"]
+    ).astype({"pos": "int64", "ts_ms": "int64"})
+
+
+def g_media_features(sf_dir: str, n: int = 200, resize_to: int = 8) -> pd.DataFrame:
+    from trajlib_spark.operators.multimodal import _fake_decode
+
+    rows = []
+    for i in range(n):
+        payload = bytes(((i * 131 + k * 17) % 251) for k in range(64))
+        w, h = 32 + i % 64, 32 + (i * 3) % 64
+        img = _fake_decode(payload, w, h).astype(np.float64)
+        ys = np.linspace(0, h, resize_to + 1).astype(int)
+        xs = np.linspace(0, w, resize_to + 1).astype(int)
+        feat = np.empty((resize_to, resize_to))
+        for a in range(resize_to):
+            for b in range(resize_to):
+                blk = img[ys[a]:max(ys[a + 1], ys[a] + 1),
+                          xs[b]:max(xs[b + 1], xs[b] + 1)]
+                feat[a, b] = blk.mean()
+        f32 = (feat / 255.0).ravel().astype(np.float32)
+        acc = 0.0
+        for v in f32:  # exact left fold, like Catalyst F.aggregate
+            acc = acc + float(v)
+        rows.append((i, "image", round(acc, 4)))
+    return pd.DataFrame(rows, columns=["media_id", "kind", "feat_sum_r"]).astype(
+        {"media_id": "int64"}
+    )
+
+
+def g_polygon_adjacency(sf_dir: str) -> pd.DataFrame:
+    keys = load_nation_keys(sf_dir)
+    covering: dict[int, set[int]] = {}
+
+    def bidx(v: float, v_min: float, v_max: float, unit: float, size: int) -> int:
+        c = max(v_min, min(v_max, v))
+        idx = int(math.floor(math.floor(c - v_min) / unit))
+        return max(0, min(size - 1, idx))
+
+    for nk in keys:
+        cx = (G.x_min + 1000.0) + (float((nk * LON_HASH_MULT) % 997) / 997.0) * (
+            (G.x_max - G.x_min) - 2000.0
+        )
+        cy = (G.y_min + 1000.0) + (float((nk * LAT_HASH_MULT + 7) % 991) / 991.0) * (
+            (G.y_max - G.y_min) - 2000.0
+        )
+        hw = 400.0 + float((nk * 37) % 23) * 100.0
+        hh = 300.0 + float((nk * 53) % 19) * 100.0
+        cut = 0.4 * min(hw, hh)
+        verts = [
+            ((cx - hw) + cut, cy - hh), ((cx + hw) - cut, cy - hh),
+            (cx + hw, (cy - hh) + cut), (cx + hw, (cy + hh) - cut),
+            ((cx + hw) - cut, cy + hh), ((cx - hw) + cut, cy + hh),
+            (cx - hw, (cy + hh) - cut), (cx - hw, (cy - hh) + cut),
+        ]
+        xs = [v[0] for v in verts]
+        ys2 = [v[1] for v in verts]
+        ix_lo = bidx(min(xs), G.x_min, G.x_max, G.x_unit, G.x_size)
+        ix_hi = bidx(max(xs), G.x_min, G.x_max, G.x_unit, G.x_size)
+        iy_lo = bidx(min(ys2), G.y_min, G.y_max, G.y_unit, G.y_size)
+        iy_hi = bidx(max(ys2), G.y_min, G.y_max, G.y_unit, G.y_size)
+        cells = {
+            ix * G.y_size + iy
+            for ix in range(ix_lo, ix_hi + 1)
+            for iy in range(iy_lo, iy_hi + 1)
+        }
+        covering[nk] = cells
+    pairs = set()
+    ks = sorted(keys)
+    for a in range(len(ks)):
+        for b in range(a + 1, len(ks)):
+            if covering[ks[a]] & covering[ks[b]]:
+                pairs.add((ks[a], ks[b]))
+    rows = [
+        (r, o, d) for r, (o, d) in enumerate(sorted(pairs), start=1)
+    ]
+    return pd.DataFrame(rows, columns=["rel_id", "origin_id", "dest_id"]).astype(
+        {"rel_id": "int64", "origin_id": "int64", "dest_id": "int64"}
+    )
+
+
+# --------------------------------------------------------------------------
+
+GENERATORS = {
+    "segment_cut": g_segment_cut,
+    "rdp_simplify": g_rdp_simplify,
+    "similarity_edwp": g_similarity_edwp,
+    "similarity_lcss": g_similarity_lcss,
+    "similarity_frechet": g_similarity_frechet,
+    "similarity_hausdorff": g_similarity_hausdorff,
+    "measure_topk": g_measure_topk,
+    "cluster_segments": g_cluster_segments,
+    "silhouette": g_silhouette,
+    "minhash_lsh": g_minhash_lsh,
+    "simhash": g_simhash,
+    "doc_fingerprint": g_doc_fingerprint,
+    "ann_ivf": g_ann_ivf,
+    "pages_points": g_pages_points,
+    "porto_clean": g_porto_clean,
+    "porto_points": g_porto_points,
+    "media_features": g_media_features,
+    "polygon_adjacency": g_polygon_adjacency,
+}
+
+
+def main() -> None:
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    for sf_dir in sf_dirs:
+        sf = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        out_dir = os.path.join(OUT_ROOT, sf)
+        os.makedirs(out_dir, exist_ok=True)
+        for name, fn in GENERATORS.items():
+            df = fn(sf_dir)
+            path = os.path.join(out_dir, f"{name}.parquet")
+            df.to_parquet(path, index=False)
+            print(f"{sf}/{name}: {len(df)} rows -> {path}")
+
+
+if __name__ == "__main__":
+    main()
