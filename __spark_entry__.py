@@ -1186,6 +1186,80 @@ def q_similarity_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("i", "j", F.round("dist", 3).alias("dist_r"))
 
 
+def _newsimi_summary(q: DataFrame, db: DataFrame) -> DataFrame:
+    def summarize(df: DataFrame, role: str) -> DataFrame:
+        return df.where(F.size("xs") > 0).select(
+            F.lit(role).alias("role"),
+            "traj_id",
+            F.size("xs").cast("long").alias("n_pts"),
+            F.round(F.element_at("xs", 1), 4).alias("x0_r"),
+            F.round(F.element_at("ys", -1), 4).alias("yl_r"),
+        )
+
+    return summarize(q, "q").unionAll(summarize(db, "db"))
+
+
+def q_newsimi_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """newsimi query/db generation (preprocessing_porto.py:94-117): test
+    slice [0.8n, 0.8n+25), first 10 trajs' EVEN points = queries, every
+    traj's ODD points = db — summarized per polyline."""
+    from trajlib_spark.operators import newsimi
+
+    polys = simi_ops.collect_polylines(_points(spark, sf_dir))
+    q, db = newsimi.newsimi_datasets(polys, n_query=10, n_db=25, variant="raw")
+    return _newsimi_summary(q, db)
+
+
+SQL_NEWSIMI_RAW = f"""
+WITH pts AS ({synth.points_sql('duckdb')}),
+t AS (SELECT DISTINCT traj_id FROM pts),
+rn AS (
+  SELECT traj_id, row_number() OVER (ORDER BY traj_id) - 1 AS r,
+         count(*) OVER () AS n
+  FROM t
+),
+sel AS (
+  SELECT traj_id, r - CAST(floor(n * 0.8e0) AS BIGINT) AS k
+  FROM rn
+  WHERE r >= CAST(floor(n * 0.8e0) AS BIGINT)
+    AND r < CAST(floor(n * 0.8e0) AS BIGINT) + 25
+),
+o AS (
+  SELECT p.traj_id, s.k, p.x, p.y,
+         row_number() OVER (PARTITION BY p.traj_id ORDER BY p.ts_ms, p.point_id) - 1 AS i
+  FROM pts p JOIN sel s ON p.traj_id = s.traj_id
+)
+SELECT 'q' AS role, traj_id, count(*) AS n_pts,
+       round(arg_min(x, i), 4) AS x0_r, round(arg_max(y, i), 4) AS yl_r
+FROM o WHERE k < 10 AND i % 2 = 0 GROUP BY traj_id
+UNION ALL
+SELECT 'db', traj_id, count(*), round(arg_min(x, i), 4), round(arg_max(y, i), 4)
+FROM o WHERE i % 2 = 1 GROUP BY traj_id
+"""
+
+
+def q_newsimi_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsampled newsimi variant (rate=0.3; preprocessing_porto.py:120-134)."""
+    from trajlib_spark.operators import newsimi
+
+    polys = simi_ops.collect_polylines(_points(spark, sf_dir))
+    q, db = newsimi.newsimi_datasets(
+        polys, n_query=10, n_db=25, variant="downsample", rate=0.3, salt=0
+    )
+    return _newsimi_summary(q, db)
+
+
+def q_newsimi_distort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distorted newsimi variant (rate=0.3; preprocessing_porto.py:151-170)."""
+    from trajlib_spark.operators import newsimi
+
+    polys = simi_ops.collect_polylines(_points(spark, sf_dir))
+    q, db = newsimi.newsimi_datasets(
+        polys, n_query=10, n_db=25, variant="distort", rate=0.3, salt=0
+    )
+    return _newsimi_summary(q, db)
+
+
 def q_measure_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN by true Hausdorff measure via the exact grid-pruned path
     (anchor-cell ring join + radius bound; fed_trainer.py:445-452)."""
@@ -1200,7 +1274,11 @@ def q_measure_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    # the documents table ships as ONE parquet file at test scale → one
+    # scan task; fan it out so the Arrow signature/verify stages use every
+    # core (at 100 TB the input arrives pre-split and this repartition is
+    # the storage layer's job)
+    docs = _docs(spark, sf_dir).repartition(16, "doc_id")
     sigs = dedup_ops.minhash_signatures(docs)
     cands = dedup_ops.lsh_candidates(sigs)
     return dedup_ops.ngram_jaccard_verify(docs, cands, threshold=0.5).select(
@@ -1438,6 +1516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_hausdorff": q_similarity_hausdorff,
         "measure_topk": q_measure_topk,
         "silhouette": q_silhouette,
+        "newsimi_raw": q_newsimi_raw,
+        "newsimi_downsample": q_newsimi_downsample,
+        "newsimi_distort": q_newsimi_distort,
         "cluster_segments": q_cluster_segments,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -1464,6 +1545,7 @@ _GOLDEN_QUERIES = (
     "segment_cut", "rdp_simplify", "similarity_edwp", "similarity_lcss",
     "similarity_frechet", "similarity_hausdorff", "measure_topk",
     "silhouette", "cluster_segments", "minhash_lsh", "simhash",
+    "newsimi_downsample", "newsimi_distort",
     "doc_fingerprint", "ann_ivf", "pages_points", "porto_clean",
     "porto_points", "media_features", "polygon_adjacency",
 )
@@ -1509,6 +1591,7 @@ def _build_sql_oracles() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "ann_cosine": SQL_ANN_COSINE,
         "symmetrize_norm": SQL_SYMMETRIZE_NORM,
+        "newsimi_raw": SQL_NEWSIMI_RAW,
     }
 
 

@@ -217,6 +217,66 @@ def g_measure_topk(sf_dir: str, k: int = 5, every: int = 30) -> pd.DataFrame:
     ).astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
 
 
+def _newsimi_slices(sf_dir: str, n_query: int = 10, n_db: int = 25):
+    """Reference slicing (preprocessing_porto.py:94-117): test slice
+    [int(0.8n), +n_db) of trajs ordered by id; query = even-index points of
+    the first n_query, db = odd-index points of every test traj."""
+    pls = polylines(load_points(sf_dir))
+    tids = sorted(pls)
+    lo = int(len(tids) * 0.8)
+    test = tids[lo : lo + n_db]
+    qs = {t: pls[t][::2] for t in test[:n_query]}
+    dbs = {t: pls[t][1::2] for t in test}
+    return qs, dbs
+
+
+def _newsimi_summary_frame(qs: dict, dbs: dict) -> pd.DataFrame:
+    rows = []
+    for role, d in (("q", qs), ("db", dbs)):
+        for t, v in d.items():
+            if len(v) == 0:
+                continue
+            rows.append((role, t, len(v), round(v[0, 0], 4), round(v[-1, 1], 4)))
+    return pd.DataFrame(
+        rows, columns=["role", "traj_id", "n_pts", "x0_r", "yl_r"]
+    ).astype({"traj_id": "int64", "n_pts": "int64"})
+
+
+def g_newsimi_downsample(sf_dir: str, rate: float = 0.3, salt: int = 0) -> pd.DataFrame:
+    from trajlib_spark.operators.augment import _rng_for
+
+    qs, dbs = _newsimi_slices(sf_dir)
+
+    def down(v, tid, s):
+        rng = _rng_for(str(tid), s)
+        idx = np.sort(rng.choice(len(v), math.ceil(len(v) * (1 - rate)), replace=False))
+        return v[idx]
+
+    return _newsimi_summary_frame(
+        {t: down(v, t, salt) for t, v in qs.items()},
+        {t: down(v, t, salt + 1) for t, v in dbs.items()},
+    )
+
+
+def g_newsimi_distort(sf_dir: str, rate: float = 0.3, salt: int = 0) -> pd.DataFrame:
+    from trajlib_spark.operators.augment import _rng_for, _truncated_rand
+
+    qs, dbs = _newsimi_slices(sf_dir)
+
+    def distort(v, tid, s):
+        rng = _rng_for(str(tid), s)
+        v = v.copy()
+        for i in range(len(v)):
+            if rng.random() < rate:
+                v[i] = v[i] + np.array([_truncated_rand(rng), _truncated_rand(rng)])
+        return v
+
+    return _newsimi_summary_frame(
+        {t: distort(v, t, salt) for t, v in qs.items()},
+        {t: distort(v, t, salt + 1) for t, v in dbs.items()},
+    )
+
+
 # --------------------------------------------------------------------------
 # segment clustering (+ silhouette)
 # --------------------------------------------------------------------------
@@ -603,6 +663,8 @@ GENERATORS = {
     "measure_topk": g_measure_topk,
     "cluster_segments": g_cluster_segments,
     "silhouette": g_silhouette,
+    "newsimi_downsample": g_newsimi_downsample,
+    "newsimi_distort": g_newsimi_distort,
     "minhash_lsh": g_minhash_lsh,
     "simhash": g_simhash,
     "doc_fingerprint": g_doc_fingerprint,

@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 from ..config import CELL_SIZE
 from ..kernels.rdp import rdp_mask
 
-_POLY_SCHEMA = "traj_id string, xs array<double>, ys array<double>"
 
 
 # --- deterministic (pure Catalyst) ------------------------------------------
@@ -82,8 +81,16 @@ def apply_stochastic(
     salt: int = 0,
     mask_ratio: float = 0.3,
     subset_ratio: float = 0.7,
+    rate: float = 0.0,
 ) -> DataFrame:
-    """Apply a seeded stochastic augmentation to (traj_id, xs, ys) rows."""
+    """Apply a seeded stochastic augmentation to (traj_id, xs, ys) rows.
+
+    ``newsimi_downsample`` / ``newsimi_distort`` are the reference's
+    newsimi test-set variants (preprocessing_porto.py:120-178): keep
+    ceil(len·(1−rate)) random sorted points / shift each point w.p. ``rate``
+    by a truncated-gaussian offset. The reference consumes one global
+    unseeded stream; the engine uses a per-trajectory seeded stream (the
+    distributable design) with the same per-trajectory logic."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -108,9 +115,9 @@ def apply_stochastic(
                     d = rng.uniform(0, CELL_SIZE)
                     pts = pts + np.array([np.cos(ang) * d, np.sin(ang) * d])
                 elif op == "scaling":
-                    rate = rng.uniform(0.7, 1.0)
+                    s_rate = rng.uniform(0.7, 1.0)
                     mid = pts[0] * 0.5 + pts[-1] * 0.5
-                    pts = pts * rate + mid * (1 - rate)
+                    pts = pts * s_rate + mid * (1 - s_rate)
                 elif op == "down_sampling":
                     keep_rows = []
                     for i in range(l):
@@ -139,6 +146,19 @@ def apply_stochastic(
                         cur = cur + np.array([_truncated_rand(rng), _truncated_rand(rng)])
                         tail.append(cur)
                     pts = np.vstack([head, pts, tail]) if k else pts
+                elif op == "newsimi_downsample":
+                    import math as _math
+
+                    keep = _math.ceil(l * (1.0 - rate))
+                    idx = np.sort(rng.choice(l, keep, replace=False))
+                    pts = pts[idx]
+                elif op == "newsimi_distort":
+                    pts = pts.copy()
+                    for i in range(l):
+                        if rng.random() < rate:
+                            pts[i] = pts[i] + np.array(
+                                [_truncated_rand(rng), _truncated_rand(rng)]
+                            )
                 elif op == "simplify":
                     pts = pts[rdp_mask(pts, 100.0)]
                 elif op == "straight":
@@ -148,7 +168,10 @@ def apply_stochastic(
                 out_x.append(pts[:, 0].tolist() if len(pts) else [])
                 out_y.append(pts[:, 1].tolist() if len(pts) else [])
             yield pd.DataFrame(
-                {"traj_id": pdf["traj_id"].astype(str), "xs": out_x, "ys": out_y}
+                {"traj_id": pdf["traj_id"], "xs": out_x, "ys": out_y}
             )
 
-    return polys.select("traj_id", "xs", "ys").mapInPandas(run, _POLY_SCHEMA)
+    tid_type = dict(polys.dtypes)["traj_id"]  # preserve the caller's id type
+    return polys.select("traj_id", "xs", "ys").mapInPandas(
+        run, f"traj_id {tid_type}, xs array<double>, ys array<double>"
+    )

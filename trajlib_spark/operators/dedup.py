@@ -139,6 +139,10 @@ def lsh_candidates(
             )
         ).alias("band_idx", "band"),
     ).select(id_col, "band_idx", F.hash("band").alias("bucket"))
+    # the banded table feeds BOTH sides of the self-join — materialize it
+    # once (at 100 TB this is the "write the signature table" step) instead
+    # of recomputing the signature UDF per side
+    banded = banded.persist()
     a = banded.select(F.col(id_col).alias("i"), "band_idx", "bucket")
     b = banded.select(F.col(id_col).alias("j"), "band_idx", "bucket")
     return (
@@ -233,6 +237,7 @@ def simhash_candidates(
         n_bands = min(64, max_hamming + 1)
     width = 64 // n_bands
     mask = (1 << width) - 1
+    sigs = sigs.persist()  # feeds the banded self-join AND the hamming verify
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
