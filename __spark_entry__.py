@@ -1287,8 +1287,13 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = dedup_ops.simhash_signatures(_docs(spark, sf_dir))
-    return dedup_ops.simhash_candidates(sigs, max_hamming=10).select(
+    # max_hamming=4 → 5 bands × 12 bits: selective buckets (a 10-bit budget
+    # forces 5-bit bands whose 32 values collide a constant fraction of ANY
+    # corpus — the candidate set then grows quadratically; 4 is also the
+    # tighter, semantically-real near-dup threshold on this corpus)
+    docs = _docs(spark, sf_dir).repartition(16, "doc_id")
+    sigs = dedup_ops.simhash_signatures(docs)
+    return dedup_ops.simhash_candidates(sigs, max_hamming=4).select(
         "i", "j", F.col("hamming").cast("long").alias("hamming")
     )
 

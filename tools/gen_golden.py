@@ -385,7 +385,7 @@ def g_minhash_lsh(sf_dir: str, num_perm: int = 64, bands: int = 16,
     )
 
 
-def g_simhash(sf_dir: str, max_hamming: int = 10) -> pd.DataFrame:
+def g_simhash(sf_dir: str, max_hamming: int = 4) -> pd.DataFrame:
     docs = load_docs(sf_dir)
     sh = _doc_shingle_hashes(docs)
     sigs = {}

@@ -120,7 +120,11 @@ def traj_table_from_points(points: DataFrame, user_col: str | None = None) -> Da
 
 def polygon_adjacency(covering_cells: DataFrame) -> DataFrame:
     """GeoRelationData from the covering-cell index: polygons sharing a
-    cell are adjacent (FIXTURES.md §F4). Equi-join on cell id."""
+    cell are adjacent (FIXTURES.md §F4). Equi-join on cell id; rel_id is a
+    dense 1-based rank assigned with the partition-parallel
+    global_row_number (no single-task global window)."""
+    from .operators.segment import global_row_number
+
     a = covering_cells.select(F.col("geo_id").alias("origin_id"), "cell_id")
     b = covering_cells.select(F.col("geo_id").alias("dest_id"), "cell_id")
     pairs = (
@@ -129,8 +133,7 @@ def polygon_adjacency(covering_cells: DataFrame) -> DataFrame:
         .select("origin_id", "dest_id")
         .distinct()
     )
-    return pairs.select(
-        F.row_number().over(Window.orderBy("origin_id", "dest_id")).cast("long").alias("rel_id"),
-        "origin_id",
-        "dest_id",
+    ranked, _n = global_row_number(pairs, ("origin_id", "dest_id"), out="_rn0")
+    return ranked.select(
+        (F.col("_rn0") + 1).cast("long").alias("rel_id"), "origin_id", "dest_id"
     )

@@ -166,6 +166,12 @@ def ngram_jaccard_verify(
     left = docs.select(F.col(id_col).alias("i"), F.col(text).alias("t_i"))
     right = docs.select(F.col(id_col).alias("j"), F.col(text).alias("t_j"))
     joined = candidates.join(left, "i").join(right, "j")
+    # the python kernel's cost is per PAIR, not per byte: AQE would coalesce
+    # this small-byte shuffle to 1-2 partitions and serialize the kernel —
+    # spread the pairs across the cluster explicitly
+    joined = joined.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "i", "j"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

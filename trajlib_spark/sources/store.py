@@ -89,6 +89,8 @@ class TableStore:
         lineage = per_file.select(
             F.lit(self.run_id).alias("run_id"),
             F.lit(stage).alias("stage"),
+            # metadata-sized window: one row per OUTPUT FILE (not per data
+            # row), so the single-task rank is bounded by the file count
             (F.dense_rank().over(Window.orderBy("_out_file")) - 1).alias("partition_id"),
             F.lit(input_files).cast("array<string>").alias("input_files"),
             "row_count",
