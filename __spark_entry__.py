@@ -1439,6 +1439,27 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode over library-free codecs: PPM + BMP images
+    (grayscale block-mean features) and WAV PCM16 audio (RMS-chunk
+    features), one union table, decoder='real'."""
+    from trajlib_spark.operators import multimodal
+
+    ppm = multimodal.make_media_table(spark, 80, "image", payload_format="ppm")
+    bmp = multimodal.make_media_table(spark, 60, "image", payload_format="bmp")
+    wav = multimodal.make_media_table(spark, 60, "audio", payload_format="wav")
+    media = ppm.unionAll(
+        bmp.withColumn("media_id", F.col("media_id") + 1000)
+    ).unionAll(wav.withColumn("media_id", F.col("media_id") + 2000))
+    feats = multimodal.decode_features(media, decoder="real", resize_to=8)
+    return feats.select(
+        "media_id", "kind",
+        F.round(
+            F.aggregate("feat", F.lit(0.0), lambda a, v: a + v.cast("double")), 4
+        ).alias("feat_sum_r"),
+    )
+
+
 def q_polygon_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoRelation adjacency of polygons sharing a covering cell (rows-only)."""
     from trajlib_spark.data_model import polygon_adjacency
@@ -1533,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "porto_clean": q_porto_clean,
         "porto_points": q_porto_points,
         "media_features": q_media_features,
+        "media_real": q_media_real,
         "polygon_adjacency": q_polygon_adjacency,
     }
 
@@ -1552,7 +1574,7 @@ _GOLDEN_QUERIES = (
     "silhouette", "cluster_segments", "minhash_lsh", "simhash",
     "newsimi_downsample", "newsimi_distort",
     "doc_fingerprint", "ann_ivf", "pages_points", "porto_clean",
-    "porto_points", "media_features", "polygon_adjacency",
+    "porto_points", "media_features", "media_real", "polygon_adjacency",
 )
 
 

@@ -189,10 +189,48 @@ def test_multimodal_plumbing(spark):
     feats = multimodal.decode_features(media, decoder="fake", resize_to=4)
     rows = feats.collect()
     assert len(rows) == 10 and all(len(r.feat) == 16 for r in rows)
-    with pytest.raises(Exception, match="NotImplementedError|real"):
+    # 'fake' payloads are not a real codec → the real decoder refuses them
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
         multimodal.decode_features(media, decoder="real").collect()
     frames = multimodal.sample_frames(media, every_n=3)
     assert frames.count() > 0
+
+
+def test_multimodal_real_codecs_roundtrip():
+    import numpy as np
+    from trajlib_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(4)
+    rgb = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    assert np.array_equal(M.decode_ppm(M.encode_ppm(rgb)), rgb)
+    assert np.array_equal(M.decode_bmp(M.encode_bmp(rgb)), rgb)
+    samples = (rng.normal(size=1000) * 5000).astype(np.int16)
+    got, rate = M.decode_wav(M.encode_wav(samples, 8000))
+    assert rate == 8000 and np.array_equal(got, samples)
+
+
+def test_multimodal_real_decode_features(spark):
+    import numpy as np
+    from trajlib_spark.operators import multimodal as M
+
+    for fmt, kind in (("ppm", "image"), ("bmp", "image"), ("wav", "audio")):
+        media = M.make_media_table(spark, 6, kind=kind, payload_format=fmt)
+        rows = M.decode_features(media, decoder="real", resize_to=4).collect()
+        assert len(rows) == 6 and all(len(r.feat) == 16 for r in rows)
+        # distributed result equals the local decode of the same payload
+        local = {r.media_id: r for r in media.collect()}
+        for r in rows:
+            expect = M._decode_real(
+                bytes(local[r.media_id].payload),
+                str(local[r.media_id].meta["codec"]), 4,
+            )
+            assert np.array_equal(np.array(r.feat, dtype=np.float32), expect), (fmt, r.media_id)
+    # ppm and bmp encode the SAME gradient → identical features
+    ppm = {r.media_id: r.feat for r in M.decode_features(
+        M.make_media_table(spark, 4, payload_format="ppm"), decoder="real").collect()}
+    bmp = {r.media_id: r.feat for r in M.decode_features(
+        M.make_media_table(spark, 4, payload_format="bmp"), decoder="real").collect()}
+    assert ppm == bmp
 
 
 def test_salted_count_equivalence(spark, points):

@@ -600,6 +600,24 @@ def g_media_features(sf_dir: str, n: int = 200, resize_to: int = 8) -> pd.DataFr
     )
 
 
+def g_media_real(sf_dir: str) -> pd.DataFrame:
+    from trajlib_spark.operators.multimodal import _decode_real, _media_row
+
+    rows = []
+    for fmt, kind, off, n in (("ppm", "image", 0, 80), ("bmp", "image", 1000, 60),
+                              ("wav", "audio", 2000, 60)):
+        for i in range(n):
+            _id, _kind, payload, meta = _media_row(i, kind, fmt)
+            feat = _decode_real(payload, meta["codec"], 8)
+            acc = 0.0
+            for v in feat:  # exact left fold, like Catalyst F.aggregate
+                acc = acc + float(v)
+            rows.append((i + off, kind, round(acc, 4)))
+    return pd.DataFrame(rows, columns=["media_id", "kind", "feat_sum_r"]).astype(
+        {"media_id": "int64"}
+    )
+
+
 def g_polygon_adjacency(sf_dir: str) -> pd.DataFrame:
     keys = load_nation_keys(sf_dir)
     covering: dict[int, set[int]] = {}
@@ -673,6 +691,7 @@ GENERATORS = {
     "porto_clean": g_porto_clean,
     "porto_points": g_porto_points,
     "media_features": g_media_features,
+    "media_real": g_media_real,
     "polygon_adjacency": g_polygon_adjacency,
 }
 
