@@ -180,3 +180,33 @@ def test_lcss_edr_vectorized_equal(seed, na, nb):
     a, b = a[:na], b[:nb]
     assert dpk.lcss_distance_vec(a, b, 40.0) == dpk.lcss_distance(a, b, 40.0)
     assert dpk.edr_distance_vec(a, b, 40.0) == dpk.edr_distance(a, b, 40.0)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_parallel_distance_matches_reference_formula(seed):
+    """trajclus.py:52-72 semantics, verified against an independent inline
+    implementation of the reference's vector algebra."""
+    from trajlib_spark.kernels.traclus import parallel_distance
+
+    rng = np.random.default_rng(seed)
+    for _ in range(50):
+        l1 = rng.normal(size=(2, 2)) * 100
+        l2 = rng.normal(size=(2, 2)) * 100
+
+        def proj(point, line):
+            lv = line[1] - line[0]
+            l2_ = lv @ lv
+            if l2_ == 0:
+                return line[0]
+            return line[0] + ((point - line[0]) @ lv / l2_) * lv
+
+        def eu(a, b):
+            return float(np.sqrt(((a - b) ** 2).sum()))
+
+        short, longer = (l1, l2) if eu(l1[0], l1[1]) < eu(l2[0], l2[1]) else (l2, l1)
+        ps, pe = proj(short[0], longer), proj(short[1], longer)
+        expect = min(
+            min(eu(longer[0], ps), eu(longer[1], ps)),
+            min(eu(longer[0], pe), eu(longer[1], pe)),
+        )
+        assert parallel_distance(l1, l2) == pytest.approx(expect, rel=1e-12)

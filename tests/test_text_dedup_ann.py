@@ -178,3 +178,26 @@ def test_train_centroids_deterministic_across_partitioning(spark, embs):
     c1 = ann.train_centroids(embs.repartition(7), n_list=8)
     c2 = ann.train_centroids(embs.coalesce(1), n_list=8)
     assert np.array_equal(c1, c2)
+
+
+def test_embedding_near_dups_multi_table_recall(spark):
+    """Multiple independent hyperplane tables recover planted near-dup
+    pairs that a single sketch misses (recall 1-(1-p)^T)."""
+    rng = np.random.default_rng(9)
+    rows = []
+    planted = []
+    for k in range(30):
+        base = rng.normal(size=24)
+        rows.append((2 * k, [float(x) for x in base]))
+        rows.append((2 * k + 1, [float(x) for x in base + rng.normal(scale=0.02, size=24)]))
+        planted.append((2 * k, 2 * k + 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    single = {(r.i, r.j) for r in dedup.embedding_near_dups(
+        df, threshold=0.98, n_tables=1).collect()}
+    multi = {(r.i, r.j) for r in dedup.embedding_near_dups(
+        df, threshold=0.98, n_tables=6).collect()}
+    hits_single = sum(p in single for p in planted)
+    hits_multi = sum(p in multi for p in planted)
+    assert hits_multi >= hits_single
+    assert hits_multi >= 27  # ≥0.9 recall on planted pairs
+    assert single <= multi  # tables only ADD candidates

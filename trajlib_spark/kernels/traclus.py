@@ -69,6 +69,22 @@ def _dist_to_proj(p: np.ndarray, line: np.ndarray) -> float:
     return _euclid(p[0], p[1], qx, qy)
 
 
+def parallel_distance(l1: np.ndarray, l2: np.ndarray) -> float:
+    """TRACLUS parallel distance (trajclus.py:52-72): project the shorter
+    line's endpoints onto the longer line, take the min distance from each
+    projection to the longer line's endpoints, then the min of the two.
+    (The reference defines but never sums this into its MDL cost — kept as
+    a first-class kernel for parity with the published TRACLUS triple.)"""
+    len1 = _euclid(l1[0, 0], l1[0, 1], l1[1, 0], l1[1, 1])
+    len2 = _euclid(l2[0, 0], l2[0, 1], l2[1, 0], l2[1, 1])
+    s, g = (l1, l2) if len1 < len2 else (l2, l1)
+    ps = _proj_on_line(s[0, 0], s[0, 1], g[0, 0], g[0, 1], g[1, 0], g[1, 1])
+    pe = _proj_on_line(s[1, 0], s[1, 1], g[0, 0], g[0, 1], g[1, 0], g[1, 1])
+    par1 = min(_euclid(g[0, 0], g[0, 1], *ps), _euclid(g[1, 0], g[1, 1], *ps))
+    par2 = min(_euclid(g[0, 0], g[0, 1], *pe), _euclid(g[1, 0], g[1, 1], *pe))
+    return min(par1, par2)
+
+
 def _angular(l1: np.ndarray, l2: np.ndarray) -> float:
     """sin(min intersecting angle) * length(longer) via slope arithmetic
     (trajclus.py:75-135, directional=True path)."""

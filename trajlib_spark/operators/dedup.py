@@ -277,30 +277,50 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 12,
+    n_tables: int = 4,
     seed: int = 7,
 ) -> DataFrame:
     """(i, j, cosine) pairs with cosine >= threshold. Candidates from
-    random-hyperplane LSH buckets (sign sketch), verified exactly with
-    zip_with/aggregate — Catalyst-only verification."""
+    ``n_tables`` INDEPENDENT random-hyperplane sign sketches (a pair within
+    angle θ collides in one table w.p. (1−θ/π)^n_planes; independent tables
+    raise recall to 1−(1−p)^T — a single sketch misses any pair that
+    differs in ≥1 bit), verified exactly with zip_with/aggregate —
+    Catalyst-only verification, bucket equi-joins only."""
     dim = len(embs.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, dim))
-    sketch = F.lit(0).cast("long")
-    for p in range(n_planes):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(v)) for v in planes[p]]),
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sketch = sketch + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    sk = embs.select(id_col, vec_col, sketch.alias("bucket"))
-    a = sk.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v_i"), "bucket")
-    b = sk.select(F.col(id_col).alias("j"), F.col(vec_col).alias("v_j"), "bucket")
-    cand = a.join(b, "bucket").where(F.col("i") < F.col("j"))
+    sketches = []
+    for t in range(n_tables):
+        planes = rng.normal(size=(n_planes, dim))
+        sketch = F.lit(0).cast("long")
+        for p in range(n_planes):
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(v)) for v in planes[p]]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            sketch = sketch + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sketches.append(sketch.alias(f"bucket_{t}"))
+    sk = embs.select(id_col, vec_col, *sketches).persist()
+    # one row per (table, bucket) — candidates are the union of per-table
+    # bucket self-joins, deduped before the exact verify
+    banded = sk.select(
+        id_col, vec_col,
+        F.posexplode(F.array(*[F.col(f"bucket_{t}") for t in range(n_tables)])
+                     ).alias("table_idx", "bucket"),
+    )
+    a = banded.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v_i"),
+                      "table_idx", "bucket")
+    b = banded.select(F.col(id_col).alias("j"), F.col(vec_col).alias("v_j"),
+                      "table_idx", "bucket")
+    cand = (
+        a.join(b, ["table_idx", "bucket"])
+        .where(F.col("i") < F.col("j"))
+        .dropDuplicates(["i", "j"])
+    )
     dot = F.aggregate(
         F.zip_with("v_i", "v_j", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v,
