@@ -93,6 +93,7 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
         "pip_join", "knn", "spatial_features", "traj_stats", "segment_pairs",
         "dedup_exact", "token_count", "quality_score", "lang_id",
         "ann_cosine", "segment_cut", "minhash_lsh", "doc_fingerprint",
+        "simhash", "symmetrize_norm", "newsimi_raw", "media_real",
     ]
     qs = E.queries()
     out = {}

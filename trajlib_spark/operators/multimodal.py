@@ -72,7 +72,11 @@ def make_media_table(
             rows = [_media_row(int(i), kind, payload_format) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
 
-    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+    # size partitions to the row count: spark.range defaults to one slice
+    # per core, and a 200-row table across 32 slices means 32 python-worker
+    # round-trips for a few rows each
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n // 64 + 1))
+    return spark.range(0, n, numPartitions=parts).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def _fake_decode(payload: bytes, w: int, h: int) -> np.ndarray:

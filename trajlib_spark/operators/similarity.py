@@ -333,7 +333,7 @@ def symmetrize_normalize(dists: DataFrame) -> DataFrame:
     simi_trainer.py:197-200; max over splits preprocessing_porto.py:219-221)."""
     both = dists.unionAll(
         dists.select(F.col("j").alias("i"), F.col("i").alias("j"), "dist")
-    )
+    ).persist()  # the max agg and the normalized output share one pass
     mx = both.agg(F.max("dist")).collect()[0][0]
     return both.withColumn("dist", F.col("dist") / F.lit(float(mx)))
 
