@@ -42,32 +42,43 @@ def segment_trajectories(
     x: str = "x",
     y: str = "y",
 ) -> DataFrame:
-    """→ one row per TRACLUS segment with its polyline."""
-    cols = [traj, *order, x, y]
-    src = points.select(*cols)
-    ocols = list(order)
+    """→ one row per TRACLUS segment with its polyline.
 
-    def cut(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ocols, kind="mergesort")
-        xs = pdf[x].to_numpy()
-        ys = pdf[y].to_numpy()
-        tr = np.column_stack([xs, ys])
-        mask = traclus_mask(tr)
-        segs = cut_segments(mask)
-        rows = []
-        tid = str(pdf[traj].iloc[0])
-        for k, (a, b) in enumerate(segs):
-            rows.append(
-                (tid, k, int(a), int(b), int(b - a + 1),
-                 xs[a : b + 1].tolist(), ys[a : b + 1].tolist())
+    Shape: nest to polylines first (sort_array inside the agg — one
+    shuffle), then run the MDL kernel over WHOLE Arrow batches of
+    trajectories via mapInPandas. groupBy().applyInPandas would invoke the
+    python function once per trajectory (N python calls); batching cuts the
+    per-call overhead by ~the batch size while the work stays identical."""
+    from .similarity import collect_polylines
+
+    polys = collect_polylines(
+        points.select(traj, *order, x, y), traj=traj, order=order, x=x, y=y
+    )
+    # per-TRAJECTORY python kernel: respread explicitly (AQE coalesces the
+    # few-MB polyline table onto 1-2 cores otherwise)
+    polys = polys.repartition(
+        polys.sparkSession.sparkContext.defaultParallelism, traj
+    )
+
+    def cut(batches):
+        for pdf in batches:
+            rows = []
+            for tid, xs, ys in zip(pdf[traj], pdf["xs"], pdf["ys"]):
+                xs = np.asarray(xs, dtype=np.float64)
+                ys = np.asarray(ys, dtype=np.float64)
+                tr = np.column_stack([xs, ys])
+                for k, (a, b) in enumerate(cut_segments(traclus_mask(tr))):
+                    rows.append(
+                        (str(tid), k, int(a), int(b), int(b - a + 1),
+                         xs[a : b + 1].tolist(), ys[a : b + 1].tolist())
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["traj_id", "seg_idx", "start_idx", "end_idx",
+                         "n_points", "seg_xs", "seg_ys"],
             )
-        return pd.DataFrame(
-            rows,
-            columns=["traj_id", "seg_idx", "start_idx", "end_idx", "n_points",
-                     "seg_xs", "seg_ys"],
-        )
 
-    return src.groupBy(traj).applyInPandas(cut, _SEGMENT_SCHEMA)
+    return polys.mapInPandas(cut, _SEGMENT_SCHEMA)
 
 
 def simplify_trajectories(

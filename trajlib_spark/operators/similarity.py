@@ -121,6 +121,11 @@ def similarity_join(
         F.col(id_col).alias("j"), F.col("xs").alias("xs_j"), F.col("ys").alias("ys_j")
     )
     joined = pairs.select("i", "j").join(left, "i").join(right, "j")
+    # per-PAIR python kernel: respread explicitly (AQE coalesces by bytes
+    # and would serialize a few-MB pair table onto 1-2 cores)
+    joined = joined.repartition(
+        joined.sparkSession.sparkContext.defaultParallelism, "i", "j"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -143,7 +148,13 @@ def _score_pairs(
     d_cols: tuple[str, str] = ("xs_d", "ys_d"),
 ) -> DataFrame:
     """(i, j, polylines) → (query_id, neighbor_id, dist) via the Arrow-
-    batched DP kernel."""
+    batched DP kernel. The pair table is explicitly respread first: the
+    kernel's cost is per PAIR (tens of ms for EDwP), while AQE sizes
+    partitions by BYTES and would coalesce a few-MB pair table onto 1-2
+    cores."""
+    pairs = pairs.repartition(
+        pairs.sparkSession.sparkContext.defaultParallelism, "i", "j"
+    )
     kern = _KERNELS[measure]
     xq, yq = q_cols
     xd, yd = d_cols
