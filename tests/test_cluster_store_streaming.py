@@ -314,3 +314,49 @@ def test_trajlib_pipelines_end_to_end(spark, points):
         assert simi.agg(F.max("dist")).collect()[0][0] <= 1.0 + 1e-9
     finally:
         shutil.rmtree(root)
+
+
+def test_streaming_tile_counts(spark, tmp_path):
+    import pandas as pd
+
+    from trajlib_spark.config import PORTO_GRID
+    from trajlib_spark.streaming.tiles import streaming_tile_counts
+
+    g = PORTO_GRID
+    x0, y0 = g.x_min + 5.0, g.y_min + 5.0
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([0, 1_000, 2_000, 61_000], unit="ms"),
+            # 3 points in one cell + 1 in the next cell over
+            "x": [x0, x0 + 1.0, x0 + 2.0, x0 + g.x_unit],
+            "y": [y0, y0, y0, y0],
+        }
+    )
+    src = str(tmp_path / "tile_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, x double, y double").parquet(src)
+    q = (
+        streaming_tile_counts(stream, g, window="1 minute", watermark="0 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tiles_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {(r.cell_id, r.window_start.minute): r.cnt
+           for r in spark.sql("SELECT * FROM tiles_out").collect()}
+    # batch parity: the same points through the batch cell assignment
+    from trajlib_spark.operators import cells as c
+
+    batch = c.with_cell(spark.createDataFrame(pdf), g).groupBy("cell_id").count()
+    batch_counts = {r.cell_id: r["count"] for r in batch.collect()}
+    assert sum(batch_counts.values()) == 4 and len(batch_counts) == 2
+    # append mode emits watermark-closed windows; every emitted row must
+    # agree with the batch assignment, split by window
+    for (cell, minute), cnt in out.items():
+        assert cell in batch_counts
+        assert cnt <= batch_counts[cell]
+        assert cnt == (1 if minute == 1 else cnt)
