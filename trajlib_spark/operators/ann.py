@@ -66,13 +66,22 @@ def cosine_topk(
     """→ (query_id, neighbor_id, rank, cosine); rank by (score, neighbor_id)
     for a deterministic total order. metric ∈ {cosine, l2, l1} — l1 is the
     reference's embedding-distance-matrix metric (cdist p=1)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # norms are per-ROW quantities: compute them once per vector before the
+    # pair join instead of once per PAIR inside it (the fold over the array
+    # is the expensive part; values are bit-identical either way)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
     pairs = F.broadcast(q).crossJoin(c)
     if exclude_self:
         pairs = pairs.where(F.col("neighbor_id") != F.col("query_id"))
     if metric == "cosine":
-        score = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+        score = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
         order = [F.desc("cosine"), F.asc("neighbor_id")]
     elif metric == "l2":
         score = F.sqrt(_l2sq(F.col("qv"), F.col("cv")))
@@ -186,11 +195,17 @@ def ivf_topk(
     cross join against the full corpus. List assignment is an Arrow-batched
     argmax over the broadcast centroid matrix (scales to any n_list; the
     previous inline-literal expression broke codegen past ~100 lists)."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
     c = _with_lists(c, centroids, 1, "cv", "_lists").withColumn(
         "list_id", F.col("_lists")[0]
     ).drop("_lists")
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
     q = _with_lists(q, centroids, n_probe, "qv", "_lists").withColumn(
         "probe", F.explode("_lists")
     ).drop("_lists")
@@ -198,7 +213,7 @@ def ivf_topk(
     if exclude_self:
         cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.withColumn(
-        "cosine", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+        "cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
