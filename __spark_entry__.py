@@ -283,23 +283,33 @@ def q_kinematics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("step_m", 3).alias("step_r"),
         F.round("speed_mps", 4).alias("speed_r"),
         F.round("bearing_rad", 3).alias("bearing_r"),
+        F.round("accel_mps2", 4).alias("accel_r"),
     )
 
 
 SQL_KINEMATICS = f"""
 WITH pts AS ({synth.points_sql('duckdb')}),
 nbr AS (
-  SELECT point_id, x, y, ts_ms,
+  SELECT point_id, traj_id, ts_ms, x, y,
          lag(x) OVER w AS xp, lag(y) OVER w AS yp, lag(ts_ms) OVER w AS tp
   FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY ts_ms, point_id)
+),
+sp AS (
+  SELECT point_id, traj_id, ts_ms, x, y, xp, yp, tp,
+         (ts_ms - tp) / 1000.0e0 AS dt_s,
+         CASE WHEN (ts_ms - tp) / 1000.0e0 > 0
+              THEN sqrt((x - xp) * (x - xp) + (y - yp) * (y - yp))
+                   / ((ts_ms - tp) / 1000.0e0) END AS speed
+  FROM nbr
 )
 SELECT point_id,
   round(sqrt((x - xp) * (x - xp) + (y - yp) * (y - yp)), 3) AS step_r,
-  round(CASE WHEN (ts_ms - tp) / 1000.0e0 > 0
-        THEN sqrt((x - xp) * (x - xp) + (y - yp) * (y - yp)) / ((ts_ms - tp) / 1000.0e0)
-        END, 4) AS speed_r,
-  round(atan2(y - yp, x - xp), 3) AS bearing_r
-FROM nbr
+  round(speed, 4) AS speed_r,
+  round(atan2(y - yp, x - xp), 3) AS bearing_r,
+  round(CASE WHEN dt_s > 0
+        THEN (speed - lag(speed) OVER (PARTITION BY traj_id ORDER BY ts_ms, point_id)) / dt_s
+        END, 4) AS accel_r
+FROM sp
 """
 
 

@@ -92,3 +92,22 @@ def test_polygon_adjacency(spark):
         if a < b and cellsets[a] & cellsets[b]
     }
     assert {(r.origin_id, r.dest_id) for r in adj} == expect
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    """CSV sink (survey §2.1): write the exploded point table to CSV with a
+    header and read it back loss-free (floats via repr-style round-trip)."""
+    from trajlib_spark.sources import porto
+
+    trips = porto.porto_fixture(spark, 30)
+    pts = porto.trips_to_points(trips.where("NOT MISSING_DATA")).select(
+        "traj_id", "pos", "ts_ms", "lon", "lat"
+    )
+    dst = str(tmp_path / "points_csv")
+    pts.write.option("header", True).mode("overwrite").csv(dst)
+    back = spark.read.option("header", True).schema(
+        "traj_id string, pos int, ts_ms long, lon double, lat double"
+    ).csv(dst)
+    a = sorted(map(tuple, pts.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
