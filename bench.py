@@ -157,9 +157,13 @@ def main() -> None:
     # for the min-ratio).
     pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "3"))
     t_small, t_big, pair_eff = [], [], []
+    # 1 timed run per level per pair (the warm-up already absorbed cache/
+    # JIT): the min is taken ACROSS the interleaved pairs, and 3 separate
+    # time windows beat 2 windows x 2 runs under this VM's noise — while
+    # keeping the whole bench inside ~7 nominal minutes
     for _ in range(pairs):
-        a = min(measure_level(3, sf_dir, n_pages, 2))
-        b = min(measure_level(12, sf_dir, n_pages, 2))
+        a = min(measure_level(3, sf_dir, n_pages, 1))
+        b = min(measure_level(12, sf_dir, n_pages, 1))
         t_small.append(a)
         t_big.append(b)
         pair_eff.append((a / b) / 4.0)
