@@ -1182,6 +1182,33 @@ def _blocked_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polys.join(pts.select("traj_id", "fed_id").distinct(), "traj_id")
 
 
+def q_similarity_edr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDR on z-scored coordinates, eps=0.25 (dp_distances; the reference's
+    trajsimi EDR config), blocked by fed_id = traj_id % 5."""
+    normed = simi_ops.normalize_polylines(_blocked_polylines(spark, sf_dir))
+    d = simi_ops.similarity_join(normed, "edr", eps=0.25, block_col="fed_id")
+    return d.select("i", "j", F.round("dist", 6).alias("dist_r"))
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via multi-table hyperplane LSH +
+    exact Catalyst cosine verify. Random 64-dim vectors never reach
+    cosine 0.6, so the corpus is salted with exact duplicates (vec_id %
+    100 == 0 re-inserted at id+100000) — the detector must recover exactly
+    those pairs."""
+    embs = _embs(spark, sf_dir)
+    dups = embs.where(F.col("vec_id") % 100 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    out = dedup_ops.embedding_near_dups(
+        embs.select("vec_id", "embedding").unionAll(
+            dups.select("vec_id", "embedding")
+        ),
+        threshold=0.999,
+    )
+    return out.select("i", "j", F.round("cosine", 6).alias("cosine_r"))
+
+
 def q_similarity_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = simi_ops.similarity_join(
         _blocked_polylines(spark, sf_dir), "frechet", block_col="fed_id"
@@ -1548,7 +1575,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdp_simplify": q_rdp_simplify,
         "similarity_edwp": q_similarity_edwp,
         "similarity_lcss": q_similarity_lcss,
+        "similarity_edr": q_similarity_edr,
         "similarity_frechet": q_similarity_frechet,
+        "embedding_near_dups": q_embedding_near_dups,
         "similarity_hausdorff": q_similarity_hausdorff,
         "measure_topk": q_measure_topk,
         "silhouette": q_silhouette,
@@ -1580,7 +1609,8 @@ def _golden_sql(name: str) -> str:
 
 _GOLDEN_QUERIES = (
     "segment_cut", "rdp_simplify", "similarity_edwp", "similarity_lcss",
-    "similarity_frechet", "similarity_hausdorff", "measure_topk",
+    "similarity_edr", "similarity_frechet", "similarity_hausdorff",
+    "embedding_near_dups", "measure_topk",
     "silhouette", "cluster_segments", "minhash_lsh", "simhash",
     "newsimi_downsample", "newsimi_distort",
     "doc_fingerprint", "ann_ivf", "pages_points", "porto_clean",

@@ -194,6 +194,68 @@ def _pair_frame(sf_dir: str, kern, digits: int) -> pd.DataFrame:
     )
 
 
+def g_similarity_edr(sf_dir: str) -> pd.DataFrame:
+    from trajlib_spark.kernels.dp_distances import edr_distance_vec
+
+    pts = load_points(sf_dir)
+    mx, sx = pts["x"].mean(), pts["x"].std(ddof=0)
+    my, sy = pts["y"].mean(), pts["y"].std(ddof=0)
+    pls = {
+        t: np.column_stack([(tr[:, 0] - mx) / sx, (tr[:, 1] - my) / sy])
+        for t, tr in polylines(pts).items()
+    }
+    rows = [
+        (i, j, round(edr_distance_vec(pls[i], pls[j], 0.25), 6))
+        for i, j in _block_pairs(list(pls), lambda t: t % 5)
+    ]
+    return pd.DataFrame(rows, columns=["i", "j", "dist_r"]).astype(
+        {"i": "int64", "j": "int64"}
+    )
+
+
+def g_embedding_near_dups(sf_dir: str, threshold: float = 0.999,
+                          n_planes: int = 12, n_tables: int = 4,
+                          seed: int = 7) -> pd.DataFrame:
+    """Pure-numpy replication of dedup.embedding_near_dups: the same
+    rng-sequential hyperplane tables, sign-sketch buckets per table,
+    candidate pairs per (table, bucket), exact cosine >= threshold.
+    Boundary note: the only float divergence from Catalyst's left-fold sums
+    is ≤1e-13, orders of magnitude inside the 6-dp rounding and the sign /
+    threshold margins of random data."""
+    embs = load_embs(sf_dir)
+    ids = embs["vec_id"].astype("int64").to_numpy()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in embs["embedding"]])
+    # salt with exact duplicates, mirroring q_embedding_near_dups
+    dup_mask = ids % 100 == 0
+    ids = np.concatenate([ids, ids[dup_mask] + 100000])
+    X = np.vstack([X, X[dup_mask]])
+    rng = np.random.default_rng(seed)
+    cand: set[tuple[int, int]] = set()
+    for _t in range(n_tables):
+        planes = rng.normal(size=(n_planes, X.shape[1]))
+        bits = (X @ planes.T) > 0
+        buckets = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+        by_bucket: dict[int, list[int]] = {}
+        for row, bk in enumerate(buckets):
+            by_bucket.setdefault(int(bk), []).append(row)
+        for members in by_bucket.values():
+            for a in range(len(members)):
+                for b in range(a + 1, len(members)):
+                    i, j = ids[members[a]], ids[members[b]]
+                    cand.add((min(i, j), max(i, j)) if i != j else (i, j))
+    norms = np.sqrt((X * X).sum(axis=1))
+    idx = {int(v): r for r, v in enumerate(ids)}
+    rows = []
+    for i, j in sorted(cand):
+        a, b = idx[i], idx[j]
+        cos = float(X[a] @ X[b] / (norms[a] * norms[b]))
+        if cos >= threshold:
+            rows.append((i, j, round(cos, 6)))
+    return pd.DataFrame(rows, columns=["i", "j", "cosine_r"]).astype(
+        {"i": "int64", "j": "int64"}
+    )
+
+
 def g_similarity_frechet(sf_dir: str) -> pd.DataFrame:
     return _pair_frame(sf_dir, discrete_frechet, 3)
 
@@ -676,7 +738,9 @@ GENERATORS = {
     "rdp_simplify": g_rdp_simplify,
     "similarity_edwp": g_similarity_edwp,
     "similarity_lcss": g_similarity_lcss,
+    "similarity_edr": g_similarity_edr,
     "similarity_frechet": g_similarity_frechet,
+    "embedding_near_dups": g_embedding_near_dups,
     "similarity_hausdorff": g_similarity_hausdorff,
     "measure_topk": g_measure_topk,
     "cluster_segments": g_cluster_segments,
