@@ -1,12 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-Every operator from SURVEY.md §2 that is SQL-expressible has BOTH a
-``queries()`` entry (the engine's DataFrame plan) and an ``oracle_sql()``
-entry (equivalent DuckDB SQL over the same parquet views). Parity-critical
-arithmetic lives once in trajlib_spark.sources.synth / trajlib_spark.config
-and is interpolated into both sides. Non-SQL-expressible operators
-(TRACLUS, DP similarity kernels, DBSCAN, MinHash) ship as rows-only checks
-backed by numpy-oracle pytest coverage in tests/.
+EVERY ``queries()`` entry has an ``oracle_sql()`` entry — 56/56:
+- SQL-expressible operators get equivalent DuckDB SQL over the same
+  parquet views; parity-critical arithmetic lives once in
+  trajlib_spark.sources.synth / trajlib_spark.config and is interpolated
+  into both sides.
+- Non-SQL-expressible operators (TRACLUS, DP similarity kernels, DBSCAN,
+  MinHash/SimHash, IVF, codecs, ...) are checked against committed
+  golden parquet recomputed WITHOUT Spark by tools/gen_golden.py (DuckDB
+  derivations + the numpy kernels that tests/test_kernels.py verifies
+  against reference goldens); oracle_sql() serves those via read_parquet.
+  Regenerate with `python tools/gen_golden.py` whenever a query's output
+  definition changes.
 """
 
 from __future__ import annotations
