@@ -98,7 +98,10 @@ def generate_pages(spark: SparkSession, n: int, skew: bool = False) -> DataFrame
             out = pd.DataFrame(
                 rows, columns=["url", "ts_ms", "html", "text", "lang"]
             )
-            out["warc_ts"] = pd.to_datetime(out.pop("ts_ms"), unit="ms")
+            # tz-AWARE UTC: a naive datetime would be re-interpreted in the
+            # consumer's session timezone at Arrow ingestion, shifting every
+            # derived epoch under a non-UTC session
+            out["warc_ts"] = pd.to_datetime(out.pop("ts_ms"), unit="ms", utc=True)
             yield out[["url", "warc_ts", "html", "text", "lang"]]
 
     return spark.range(n).mapInPandas(
