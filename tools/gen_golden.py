@@ -230,13 +230,18 @@ def g_embedding_near_dups(sf_dir: str, threshold: float = 0.999,
     ids = np.concatenate([ids, ids[dup_mask] + 100000])
     X = np.vstack([X, X[dup_mask]])
     rng = np.random.default_rng(seed)
+    planes = np.vstack([rng.normal(size=(n_planes, X.shape[1]))
+                        for _ in range(n_tables)])
+    # IDENTICAL reduction to the operator's Arrow sketch (pure numpy, no
+    # BLAS) → bit-identical buckets
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
     cand: set[tuple[int, int]] = set()
-    for _t in range(n_tables):
-        planes = rng.normal(size=(n_planes, X.shape[1]))
-        bits = (X @ planes.T) > 0
-        buckets = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+    bits_all = (X[:, None, :] * planes[None, :, :]).sum(axis=2) > 0
+    per_table = bits_all.reshape(len(X), n_tables, n_planes)
+    buckets_all = (per_table * weights).sum(axis=2)
+    for t in range(n_tables):
         by_bucket: dict[int, list[int]] = {}
-        for row, bk in enumerate(buckets):
+        for row, bk in enumerate(buckets_all[:, t]):
             by_bucket.setdefault(int(bk), []).append(row)
         for members in by_bucket.values():
             for a in range(len(members)):

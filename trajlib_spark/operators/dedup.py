@@ -288,29 +288,38 @@ def embedding_near_dups(
     Catalyst-only verification, bucket equi-joins only."""
     dim = len(embs.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
-    sketches = []
-    for t in range(n_tables):
-        planes = rng.normal(size=(n_planes, dim))
-        sketch = F.lit(0).cast("long")
-        for p in range(n_planes):
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(v)) for v in planes[p]]),
-                    lambda a, b: a.cast("double") * b,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            sketch = sketch + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        sketches.append(sketch.alias(f"bucket_{t}"))
-    sk = embs.select(id_col, vec_col, *sketches).persist()
+    # sequential per-table draws, stacked (identical values to drawing
+    # inside a per-table loop — the oracle generator replicates this)
+    planes = np.vstack([rng.normal(size=(n_planes, dim)) for _ in range(n_tables)])
+
+    def sketch_batch(batches):
+        # Arrow-batched sign sketches over the broadcast plane matrix: an
+        # inline-literal Catalyst expression would be n_tables·n_planes
+        # aggregate-HOFs with dim literals each — seconds of codegen per
+        # plan. Pure-numpy reduction (no BLAS threading) keeps the bucket
+        # values reproducible outside Spark for the oracle.
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        for pdf in batches:
+            vecs = pdf[vec_col].to_numpy()
+            buckets = []
+            for lo in range(0, len(pdf), 1024):
+                X = np.stack(vecs[lo : lo + 1024]).astype(np.float64)
+                bits = (X[:, None, :] * planes[None, :, :]).sum(axis=2) > 0
+                per_table = bits.reshape(len(X), n_tables, n_planes)
+                buckets.extend((per_table * weights).sum(axis=2).tolist())
+            pdf = pdf.copy()
+            pdf["_buckets"] = buckets
+            yield pdf
+
+    fields = ", ".join(f"{n} {t}" for n, t in embs.select(id_col, vec_col).dtypes)
+    sk = embs.select(id_col, vec_col).mapInPandas(
+        sketch_batch, f"{fields}, _buckets array<long>"
+    ).persist()
     # one row per (table, bucket) — candidates are the union of per-table
     # bucket self-joins, deduped before the exact verify
     banded = sk.select(
         id_col, vec_col,
-        F.posexplode(F.array(*[F.col(f"bucket_{t}") for t in range(n_tables)])
-                     ).alias("table_idx", "bucket"),
+        F.posexplode("_buckets").alias("table_idx", "bucket"),
     )
     a = banded.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v_i"),
                       "table_idx", "bucket")
