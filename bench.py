@@ -94,6 +94,7 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_exact", "token_count", "quality_score", "lang_id",
         "ann_cosine", "segment_cut", "minhash_lsh", "doc_fingerprint",
         "simhash", "symmetrize_norm", "newsimi_raw", "media_real",
+        "embedding_near_dups",
     ]
     qs = E.queries()
     out = {}
