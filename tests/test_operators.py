@@ -312,3 +312,33 @@ def test_measure_topk_pruned_matches_brute(spark, points, measure):
     expect = brute.orderBy("query_id", "rank").select(
         "query_id", "neighbor_id", "rank").collect()
     assert got == expect
+
+
+@pytest.mark.parametrize("measure", ["hausdorff", "frechet"])
+def test_measure_topk_pruned_localized_early_exit(spark, measure):
+    """Compact trajectories scattered across the grid: the radius bound
+    certifies most queries at a SMALL ring (multi-round pruned path, not
+    the degenerate full-cover round) — results must still equal brute
+    force exactly."""
+    rng = np.random.RandomState(11)
+    rows = []
+    for t in range(60):
+        # anchor anywhere in the grid, points within ~150 m of it
+        ax = G.x_min + 500 + rng.rand() * (G.x_max - G.x_min - 1000)
+        ay = G.y_min + 500 + rng.rand() * (G.y_max - G.y_min - 1000)
+        for k in range(12):
+            rows.append((t, k * 1000, k * 1000, float(ax + rng.randn() * 50),
+                         float(ay + rng.randn() * 50)))
+    pts = spark.createDataFrame(
+        rows, "traj_id long, ts_ms long, point_id long, x double, y double"
+    )
+    polys = similarity.collect_polylines(pts).cache()
+    qs = polys.where(F.col("traj_id") % 10 == 0)
+    pruned = similarity.measure_topk(polys, qs, measure, k=3, grid=G, ring=4)
+    brute = similarity.measure_topk(polys, qs, measure, k=3)
+    got = pruned.orderBy("query_id", "rank").select(
+        "query_id", "neighbor_id", "rank").collect()
+    expect = brute.orderBy("query_id", "rank").select(
+        "query_id", "neighbor_id", "rank").collect()
+    assert got == expect
+    assert not _plan_has_cross_join(pruned)
