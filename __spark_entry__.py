@@ -46,6 +46,19 @@ from trajlib_spark.sources.synth import dlit
 G = PORTO_GRID
 _L = dlit
 
+
+def _RND(col, n):
+    """round() that never emits IEEE -0.0.
+
+    Spark's round() returns +0.0 where DuckDB's keeps the sign of a zero
+    rounded from a tiny negative (-1e-9 -> -0.0); the driver's correctness
+    gate hashes raw bytes, so the two disagree even though ``==`` says
+    equal.  ``x + 0.0`` maps -0.0 -> +0.0 and is exact for every other
+    value; the SQL oracles apply the matching ``round(...) + 0e0``.
+    """
+    return F.round(col, n) + F.lit(0.0)
+
+
 # ---------------------------------------------------------------------------
 # shared helpers
 # ---------------------------------------------------------------------------
@@ -102,15 +115,15 @@ def q_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "point_id",
         "traj_id",
         "ts_ms",
-        F.round("lon", 6).alias("lon_r"),
-        F.round("lat", 6).alias("lat_r"),
+        _RND("lon", 6).alias("lon_r"),
+        _RND("lat", 6).alias("lat_r"),
     )
 
 
 SQL_POINTS = f"""
 WITH pts AS ({synth.points_sql('duckdb')})
 SELECT point_id, traj_id, ts_ms,
-       round(lon, 6) AS lon_r, round(lat, 6) AS lat_r
+       (round(lon, 6) + 0e0) AS lon_r, (round(lat, 6) + 0e0) AS lat_r
 FROM pts
 """
 
@@ -251,10 +264,10 @@ def q_spatial_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "point_id",
-        F.round("x_norm", 6).alias("x_norm_r"),
-        F.round("y_norm", 6).alias("y_norm_r"),
-        F.round("dist_feat", 6).alias("dist_r"),
-        F.round("radian_feat", 6).alias("radian_r"),
+        _RND("x_norm", 6).alias("x_norm_r"),
+        _RND("y_norm", 6).alias("y_norm_r"),
+        _RND("dist_feat", 6).alias("dist_r"),
+        _RND("radian_feat", 6).alias("radian_r"),
     )
 
 
@@ -267,16 +280,16 @@ nbr AS (
   FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY ts_ms, point_id)
 )
 SELECT point_id,
-  round((x - {_L(G.x_min)}) / {_L(G.x_max - G.x_min)}, 6) AS x_norm_r,
-  round((y - {_L(G.y_min)}) / {_L(G.y_max - G.y_min)}, 6) AS y_norm_r,
-  round(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL THEN
+  (round((x - {_L(G.x_min)}) / {_L(G.x_max - G.x_min)}, 6) + 0e0) AS x_norm_r,
+  (round((y - {_L(G.y_min)}) / {_L(G.y_max - G.y_min)}, 6) + 0e0) AS y_norm_r,
+  (round(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL THEN
     ((sqrt((x - xp) * (x - xp) + (y - yp) * (y - yp))
       + sqrt((xn - x) * (xn - x) + (yn - y) * (yn - y))) / 2.0e0) / {_L(DIST_FEATURE_SCALE)}
-    ELSE 0.0e0 END, 6) AS dist_r,
-  round(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL THEN
+    ELSE 0.0e0 END, 6) + 0e0) AS dist_r,
+  (round(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL THEN
     1.0e0 - abs({_L(3.141592653589793)} - atan2(xp - x, yp - y) + atan2(xn - x, yn - y))
       / {_L(3.141592653589793)}
-    ELSE 0.0e0 END, 6) AS radian_r
+    ELSE 0.0e0 END, 6) + 0e0) AS radian_r
 FROM nbr
 """
 
@@ -285,10 +298,10 @@ def q_kinematics(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = feat_ops.kinematics(_points(spark, sf_dir))
     return out.select(
         "point_id",
-        F.round("step_m", 3).alias("step_r"),
-        F.round("speed_mps", 4).alias("speed_r"),
-        F.round("bearing_rad", 3).alias("bearing_r"),
-        F.round("accel_mps2", 4).alias("accel_r"),
+        _RND("step_m", 3).alias("step_r"),
+        _RND("speed_mps", 4).alias("speed_r"),
+        _RND("bearing_rad", 3).alias("bearing_r"),
+        _RND("accel_mps2", 4).alias("accel_r"),
     )
 
 
@@ -308,12 +321,12 @@ sp AS (
   FROM nbr
 )
 SELECT point_id,
-  round(sqrt((x - xp) * (x - xp) + (y - yp) * (y - yp)), 3) AS step_r,
-  round(speed, 4) AS speed_r,
-  round(atan2(y - yp, x - xp), 3) AS bearing_r,
-  round(CASE WHEN dt_s > 0
+  (round(sqrt((x - xp) * (x - xp) + (y - yp) * (y - yp)), 3) + 0e0) AS step_r,
+  (round(speed, 4) + 0e0) AS speed_r,
+  (round(atan2(y - yp, x - xp), 3) + 0e0) AS bearing_r,
+  (round(CASE WHEN dt_s > 0
         THEN (speed - lag(speed) OVER (PARTITION BY traj_id ORDER BY ts_ms, point_id)) / dt_s
-        END, 4) AS accel_r
+        END, 4) + 0e0) AS accel_r
 FROM sp
 """
 
@@ -339,12 +352,12 @@ nbr AS (
   FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY ts_ms, point_id)
 )
 SELECT point_id,
-  round(CASE
+  (round(CASE
     WHEN lon - lp = 0 AND lat - lt >= 0 THEN {_L(1.5707963267948966)}
     WHEN lon - lp = 0 THEN {_L(4.71238898038469)}
     WHEN lon - lp < 0 THEN atan((lat - lt) / (lon - lp)) + {_L(3.141592653589793)}
     WHEN lat - lt < 0 THEN atan((lat - lt) / (lon - lp)) + {_L(6.283185307179586)}
-    ELSE atan((lat - lt) / (lon - lp)) END, 3) AS bearing_ref
+    ELSE atan((lat - lt) / (lon - lp)) END, 3) + 0e0) AS bearing_ref
 FROM nbr WHERE lp IS NOT NULL
 """
 
@@ -354,10 +367,10 @@ def q_traj_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "traj_id",
         "n_points",
-        F.round("path_m", 2).alias("path_r"),
-        F.round("chord_m", 2).alias("chord_r"),
-        F.round("sinuosity", 4).alias("sinuosity_r"),
-        F.round("travel_time_s", 1).alias("tt_r"),
+        _RND("path_m", 2).alias("path_r"),
+        _RND("chord_m", 2).alias("chord_r"),
+        _RND("sinuosity", 4).alias("sinuosity_r"),
+        _RND("travel_time_s", 1).alias("tt_r"),
     )
 
 
@@ -379,11 +392,11 @@ agg AS (
          arg_max(x, rn) AS x1, arg_max(y, rn) AS y1
   FROM stepped GROUP BY traj_id
 )
-SELECT traj_id, n_points, round(path_m, 2) AS path_r,
-       round(sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)), 2) AS chord_r,
-       round(CASE WHEN sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)) > 0
-             THEN path_m / sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)) END, 4) AS sinuosity_r,
-       round((t1 - t0) / 1000.0e0, 1) AS tt_r
+SELECT traj_id, n_points, (round(path_m, 2) + 0e0) AS path_r,
+       (round(sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)), 2) + 0e0) AS chord_r,
+       (round(CASE WHEN sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)) > 0
+             THEN path_m / sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)) END, 4) + 0e0) AS sinuosity_r,
+       (round((t1 - t0) / 1000.0e0, 1) + 0e0) AS tt_r
 FROM agg
 """
 
@@ -431,9 +444,9 @@ def q_segment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         F.col("a.traj_id").alias("i"),
         F.col("b.traj_id").alias("j"),
-        F.round(d1, 3).alias("d1_r"),
-        F.round(d2, 3).alias("d2_r"),
-        F.round(d1 + d2, 3).alias("d_r"),
+        _RND(d1, 3).alias("d1_r"),
+        _RND(d2, 3).alias("d2_r"),
+        _RND(d1 + d2, 3).alias("d_r"),
     )
 
 
@@ -459,13 +472,13 @@ pairs AS (
          sqrt((b.ex - b.sx) * (b.ex - b.sx) + (b.ey - b.sy) * (b.ey - b.sy)) AS len_b
   FROM ends a JOIN ends b ON a.fed_id = b.fed_id AND a.traj_id < b.traj_id
 )
-SELECT i, j, round(d1, 3) AS d1_r,
-  round(abs(sin(CASE WHEN abs(ang_a - ang_b) > {_L(3.141592653589793)}
+SELECT i, j, (round(d1, 3) + 0e0) AS d1_r,
+  (round(abs(sin(CASE WHEN abs(ang_a - ang_b) > {_L(3.141592653589793)}
                 THEN {_L(6.283185307179586)} - abs(ang_a - ang_b)
-                ELSE abs(ang_a - ang_b) END)) * greatest(len_a, len_b), 3) AS d2_r,
-  round(d1 + abs(sin(CASE WHEN abs(ang_a - ang_b) > {_L(3.141592653589793)}
+                ELSE abs(ang_a - ang_b) END)) * greatest(len_a, len_b), 3) + 0e0) AS d2_r,
+  (round(d1 + abs(sin(CASE WHEN abs(ang_a - ang_b) > {_L(3.141592653589793)}
                 THEN {_L(6.283185307179586)} - abs(ang_a - ang_b)
-                ELSE abs(ang_a - ang_b) END)) * greatest(len_a, len_b), 3) AS d_r
+                ELSE abs(ang_a - ang_b) END)) * greatest(len_a, len_b), 3) + 0e0) AS d_r
 FROM pairs
 """
 
@@ -522,7 +535,7 @@ def q_symmetrize_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d1 + d2).alias("dist"),
     )
     out = simi_ops.symmetrize_normalize(dists)
-    return out.select("i", "j", F.round("dist", 6).alias("dist_norm_r"))
+    return out.select("i", "j", _RND("dist", 6).alias("dist_norm_r"))
 
 
 _SQL_SYM_PAIRS_BODY = f"""
@@ -559,7 +572,7 @@ sym AS (SELECT i, j, dist FROM d UNION ALL SELECT j AS i, i AS j, dist FROM d)
 SQL_SYMMETRIZE_NORM = f"""
 WITH pts AS ({synth.points_sql('duckdb')}),
 {_SQL_SYM_PAIRS_BODY.strip().rstrip()}
-SELECT i, j, round(dist / max(dist) OVER (), 6) AS dist_norm_r FROM sym
+SELECT i, j, (round(dist / max(dist) OVER (), 6) + 0e0) AS dist_norm_r FROM sym
 """
 
 
@@ -569,19 +582,19 @@ def q_cell_mbr(spark: SparkSession, sf_dir: str) -> DataFrame:
     mbr = cell_ops.cell_mbr(F.col("i_x"), F.col("i_y"), G)
     return pc.select(
         "cell_id",
-        F.round(mbr["x_lo"], 2).alias("x_lo_r"),
-        F.round(mbr["y_lo"], 2).alias("y_lo_r"),
-        F.round(mbr["x_hi"], 2).alias("x_hi_r"),
-        F.round(mbr["y_hi"], 2).alias("y_hi_r"),
+        _RND(mbr["x_lo"], 2).alias("x_lo_r"),
+        _RND(mbr["y_lo"], 2).alias("y_lo_r"),
+        _RND(mbr["x_hi"], 2).alias("x_hi_r"),
+        _RND(mbr["y_hi"], 2).alias("y_hi_r"),
     )
 
 
 SQL_CELL_MBR = f"""{_PRELUDE}
 SELECT DISTINCT cell_id,
-  round({_L(G.x_min)} + {_L(G.x_unit)} * i_x, 2) AS x_lo_r,
-  round({_L(G.y_min)} + {_L(G.y_unit)} * i_y, 2) AS y_lo_r,
-  round(({_L(G.x_min)} + {_L(G.x_unit)} * i_x) + {_L(G.x_unit)}, 2) AS x_hi_r,
-  round(({_L(G.y_min)} + {_L(G.y_unit)} * i_y) + {_L(G.y_unit)}, 2) AS y_hi_r
+  (round({_L(G.x_min)} + {_L(G.x_unit)} * i_x, 2) + 0e0) AS x_lo_r,
+  (round({_L(G.y_min)} + {_L(G.y_unit)} * i_y, 2) + 0e0) AS y_lo_r,
+  (round(({_L(G.x_min)} + {_L(G.x_unit)} * i_x) + {_L(G.x_unit)}, 2) + 0e0) AS x_hi_r,
+  (round(({_L(G.y_min)} + {_L(G.y_unit)} * i_y) + {_L(G.y_unit)}, 2) + 0e0) AS y_hi_r
 FROM cells
 """
 
@@ -643,7 +656,7 @@ def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("traj_id").orderBy("ts_ms", "point_id")
     out = pts.select(
         "point_id",
-        F.round(
+        _RND(
             haversine_m(F.lag("lon").over(w), F.lag("lat").over(w), F.col("lon"), F.col("lat")),
             3,
         ).alias("hav_r"),
@@ -659,10 +672,10 @@ nbr AS (
   FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY ts_ms, point_id)
 )
 SELECT point_id,
-  round(((2.0e0 * asin(sqrt(
+  (round(((2.0e0 * asin(sqrt(
       pow(sin((rlat - plat) / 2.0e0), 2.0e0)
       + cos(plat) * cos(rlat) * pow(sin((rlon - plon) / 2.0e0), 2.0e0)
-  ))) * 6367000.0e0), 3) AS hav_r
+  ))) * 6367000.0e0), 3) + 0e0) AS hav_r
 FROM nbr WHERE plon IS NOT NULL
 """
 
@@ -677,16 +690,16 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     return pts.select(
         "point_id",
-        F.round((F.col("x") - F.lit(stats.mx)) / F.lit(stats.sx), 6).alias("xz_r"),
-        F.round((F.col("y") - F.lit(stats.my)) / F.lit(stats.sy), 6).alias("yz_r"),
+        _RND((F.col("x") - F.lit(stats.mx)) / F.lit(stats.sx), 6).alias("xz_r"),
+        _RND((F.col("y") - F.lit(stats.my)) / F.lit(stats.sy), 6).alias("yz_r"),
     )
 
 
 SQL_ZSCORE = f"""
 WITH pts AS ({synth.points_sql('duckdb')})
 SELECT point_id,
-  round((x - avg(x) OVER ()) / stddev_pop(x) OVER (), 6) AS xz_r,
-  round((y - avg(y) OVER ()) / stddev_pop(y) OVER (), 6) AS yz_r
+  (round((x - avg(x) OVER ()) / stddev_pop(x) OVER (), 6) + 0e0) AS xz_r,
+  (round((y - avg(y) OVER ()) / stddev_pop(y) OVER (), 6) + 0e0) AS yz_r
 FROM pts
 """
 
@@ -700,8 +713,8 @@ def q_traj_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nested.select(
         "traj_id",
         F.col("n_points").cast("long").alias("n_points"),
-        F.round(F.element_at("lon_list", 1), 6).alias("head_lon_r"),
-        F.round(F.element_at("lat_list", -1), 6).alias("tail_lat_r"),
+        _RND(F.element_at("lon_list", 1), 6).alias("head_lon_r"),
+        _RND(F.element_at("lat_list", -1), 6).alias("tail_lat_r"),
     )
 
 
@@ -713,8 +726,8 @@ rn AS (
   FROM pts
 )
 SELECT traj_id, count(*) AS n_points,
-       round(arg_min(lon, r), 6) AS head_lon_r,
-       round(arg_max(lat, r), 6) AS tail_lat_r
+       (round(arg_min(lon, r), 6) + 0e0) AS head_lon_r,
+       (round(arg_max(lat, r), 6) + 0e0) AS tail_lat_r
 FROM rn GROUP BY traj_id
 """
 
@@ -731,13 +744,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
+            _RND(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _RND(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _RND(
                 F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            _RND(F.avg("l_quantity"), 4).alias("avg_qty"),
+            _RND(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -746,11 +759,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1.0e0 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_discount), 6) AS avg_disc,
+       (round(sum(l_quantity), 2) + 0e0) AS sum_qty,
+       (round(sum(l_extendedprice), 2) + 0e0) AS sum_base_price,
+       (round(sum(l_extendedprice * (1.0e0 - l_discount)), 2) + 0e0) AS sum_disc_price,
+       (round(avg(l_quantity), 4) + 0e0) AS avg_qty,
+       (round(avg(l_discount), 6) + 0e0) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -769,7 +782,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "n_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            _RND(F.sum("o_totalprice"), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -779,7 +792,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TOP_CUSTOMERS = """
-SELECT c_custkey, n_name, round(sum(o_totalprice), 2) AS revenue,
+SELECT c_custkey, n_name, (round(sum(o_totalprice), 2) + 0e0) AS revenue,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -804,14 +817,14 @@ def q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        _RND(F.sum("value").over(w), 4).alias("running_value"),
     )
 
 
 SQL_EVENTS_RUNNING = """
 SELECT event_id, user_id,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+       (round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) + 0e0)
          AS running_value
 FROM events
 """
@@ -849,9 +862,9 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         "n_words",
-        F.round("punct_ratio", 6).alias("punct_r"),
-        F.round("avg_word_len", 6).alias("awl_r"),
-        F.round("quality_score", 6).alias("quality_r"),
+        _RND("punct_ratio", 6).alias("punct_r"),
+        _RND("avg_word_len", 6).alias("awl_r"),
+        _RND("quality_score", 6).alias("quality_r"),
     )
 
 
@@ -868,9 +881,9 @@ def _sql_quality() -> str:
     )
     return f"""
 SELECT doc_id, {nw} AS n_words,
-       round({pr}, 6) AS punct_r,
-       round({awl}, 6) AS awl_r,
-       round({score}, 6) AS quality_r
+       (round({pr}, 6) + 0e0) AS punct_r,
+       (round({awl}, 6) + 0e0) AS awl_r,
+       (round({score}, 6) + 0e0) AS quality_r
 FROM documents
 """
 
@@ -953,7 +966,7 @@ def q_hit_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = cos.join(l2, ["query_id", "neighbor_id"]).count()
     n_q = qs.count()
     return spark.createDataFrame(
-        [(10, round(inter / (10.0 * n_q), 6))], "k long, hit_ratio double"
+        [(10, (round(inter / (10.0 * n_q), 6) + 0e0))], "k long, hit_ratio double"
     )
 
 
@@ -1001,8 +1014,8 @@ l2r AS (
   FROM dots
 )
 SELECT CAST(10 AS BIGINT) AS k,
-       round(CAST(count(*) AS DOUBLE)
-             / (10.0e0 * (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0)), 6) AS hit_ratio
+       (round(CAST(count(*) AS DOUBLE)
+             / (10.0e0 * (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0)), 6) + 0e0) AS hit_ratio
 FROM (SELECT query_id, neighbor_id FROM cosr WHERE r <= 10) c
 JOIN (SELECT query_id, neighbor_id FROM l2r WHERE r <= 10) l
 USING (query_id, neighbor_id)
@@ -1027,7 +1040,7 @@ def q_rank_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(
             F.sum(
-                F.when(F.round("d2", 6) <= F.round("target_d2", 6), 1).otherwise(0)
+                F.when(_RND("d2", 6) <= _RND("target_d2", 6), 1).otherwise(0)
             ).alias("rank")
         )
     )
@@ -1051,7 +1064,7 @@ target AS (
   SELECT query_id, d2 AS target_d2 FROM dots WHERE neighbor_id = query_id + 1
 )
 SELECT d.query_id,
-       CAST(sum(CASE WHEN round(d.d2, 6) <= round(t.target_d2, 6) THEN 1 ELSE 0 END) AS BIGINT) AS rank
+       CAST(sum(CASE WHEN (round(d.d2, 6) + 0e0) <= (round(t.target_d2, 6) + 0e0) THEN 1 ELSE 0 END) AS BIGINT) AS rank
 FROM dots d JOIN target t ON d.query_id = t.query_id
 GROUP BY d.query_id
 """
@@ -1089,7 +1102,7 @@ def q_similarity_edwp(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.select("traj_id", "fed_id", "ts_ms", "point_id", "x", "y")
     ).join(pts.select("traj_id", "fed_id").distinct(), "traj_id")
     d = simi_ops.similarity_join(polys, "edwp", block_col="fed_id")
-    return d.select("i", "j", F.round("dist", 3).alias("dist_r"))
+    return d.select("i", "j", _RND("dist", 3).alias("dist_r"))
 
 
 def q_similarity_lcss(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1099,7 +1112,7 @@ def q_similarity_lcss(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(pts.select("traj_id", "fed_id").distinct(), "traj_id")
     normed = simi_ops.normalize_polylines(polys)
     d = simi_ops.similarity_join(normed, "lcss", eps=0.25, block_col="fed_id")
-    return d.select("i", "j", F.round("dist", 6).alias("dist_r"))
+    return d.select("i", "j", _RND("dist", 6).alias("dist_r"))
 
 
 def _cluster_input_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1175,7 +1188,7 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = segs.count()
     return spark.createDataFrame(
-        [(n, round(sil, 4))], "n long, silhouette_r double"
+        [(n, (round(sil, 4) + 0e0))], "n long, silhouette_r double"
     )
 
 
@@ -1192,7 +1205,7 @@ def q_similarity_edr(spark: SparkSession, sf_dir: str) -> DataFrame:
     trajsimi EDR config), blocked by fed_id = traj_id % 5."""
     normed = simi_ops.normalize_polylines(_blocked_polylines(spark, sf_dir))
     d = simi_ops.similarity_join(normed, "edr", eps=0.25, block_col="fed_id")
-    return d.select("i", "j", F.round("dist", 6).alias("dist_r"))
+    return d.select("i", "j", _RND("dist", 6).alias("dist_r"))
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1211,21 +1224,21 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         threshold=0.999,
     )
-    return out.select("i", "j", F.round("cosine", 6).alias("cosine_r"))
+    return out.select("i", "j", _RND("cosine", 6).alias("cosine_r"))
 
 
 def q_similarity_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = simi_ops.similarity_join(
         _blocked_polylines(spark, sf_dir), "frechet", block_col="fed_id"
     )
-    return d.select("i", "j", F.round("dist", 3).alias("dist_r"))
+    return d.select("i", "j", _RND("dist", 3).alias("dist_r"))
 
 
 def q_similarity_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = simi_ops.similarity_join(
         _blocked_polylines(spark, sf_dir), "hausdorff", block_col="fed_id"
     )
-    return d.select("i", "j", F.round("dist", 3).alias("dist_r"))
+    return d.select("i", "j", _RND("dist", 3).alias("dist_r"))
 
 
 def _newsimi_summary(q: DataFrame, db: DataFrame) -> DataFrame:
@@ -1234,8 +1247,8 @@ def _newsimi_summary(q: DataFrame, db: DataFrame) -> DataFrame:
             F.lit(role).alias("role"),
             "traj_id",
             F.size("xs").cast("long").alias("n_pts"),
-            F.round(F.element_at("xs", 1), 4).alias("x0_r"),
-            F.round(F.element_at("ys", -1), 4).alias("yl_r"),
+            _RND(F.element_at("xs", 1), 4).alias("x0_r"),
+            _RND(F.element_at("ys", -1), 4).alias("yl_r"),
         )
 
     return summarize(q, "q").unionAll(summarize(db, "db"))
@@ -1272,10 +1285,10 @@ o AS (
   FROM pts p JOIN sel s ON p.traj_id = s.traj_id
 )
 SELECT 'q' AS role, traj_id, count(*) AS n_pts,
-       round(arg_min(x, i), 4) AS x0_r, round(arg_max(y, i), 4) AS yl_r
+       (round(arg_min(x, i), 4) + 0e0) AS x0_r, (round(arg_max(y, i), 4) + 0e0) AS yl_r
 FROM o WHERE k < 10 AND i % 2 = 0 GROUP BY traj_id
 UNION ALL
-SELECT 'db', traj_id, count(*), round(arg_min(x, i), 4), round(arg_max(y, i), 4)
+SELECT 'db', traj_id, count(*), (round(arg_min(x, i), 4) + 0e0), (round(arg_max(y, i), 4) + 0e0)
 FROM o WHERE i % 2 = 1 GROUP BY traj_id
 """
 
@@ -1311,7 +1324,7 @@ def q_measure_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id",
         F.col("rank").cast("long").alias("rank"),
-        F.round("dist", 3).alias("dist_r"),
+        _RND("dist", 3).alias("dist_r"),
     )
 
 
@@ -1324,7 +1337,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup_ops.minhash_signatures(docs)
     cands = dedup_ops.lsh_candidates(sigs)
     return dedup_ops.ngram_jaccard_verify(docs, cands, threshold=0.5).select(
-        "i", "j", F.round("jaccard", 4).alias("jaccard_r")
+        "i", "j", _RND("jaccard", 4).alias("jaccard_r")
     )
 
 
@@ -1390,10 +1403,10 @@ def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             pts.agg(
                 F.lit(axis).alias("axis"),
-                F.round(F.avg(axis), 4).alias("mean_r"),
-                F.round(F.stddev_pop(axis), 4).alias("std_r"),
-                F.round(F.min(axis), 4).alias("min_r"),
-                F.round(F.max(axis), 4).alias("max_r"),
+                _RND(F.avg(axis), 4).alias("mean_r"),
+                _RND(F.stddev_pop(axis), 4).alias("std_r"),
+                _RND(F.min(axis), 4).alias("min_r"),
+                _RND(F.max(axis), 4).alias("max_r"),
             )
         )
     return rows[0].unionAll(rows[1])
@@ -1401,10 +1414,10 @@ def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DESCRIBE = f"""
 WITH pts AS ({synth.points_sql('duckdb')})
-SELECT 'x' AS axis, round(avg(x), 4) AS mean_r, round(stddev_pop(x), 4) AS std_r,
-       round(min(x), 4) AS min_r, round(max(x), 4) AS max_r FROM pts
+SELECT 'x' AS axis, (round(avg(x), 4) + 0e0) AS mean_r, (round(stddev_pop(x), 4) + 0e0) AS std_r,
+       (round(min(x), 4) + 0e0) AS min_r, (round(max(x), 4) + 0e0) AS max_r FROM pts
 UNION ALL
-SELECT 'y', round(avg(y), 4), round(stddev_pop(y), 4), round(min(y), 4), round(max(y), 4) FROM pts
+SELECT 'y', (round(avg(y), 4) + 0e0), (round(stddev_pop(y), 4) + 0e0), (round(min(y), 4) + 0e0), (round(max(y), 4) + 0e0) FROM pts
 """
 
 
@@ -1419,8 +1432,8 @@ def q_augment_time_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polys.select(
         "traj_id",
         F.size(xs2).cast("long").alias("new_len"),
-        F.round(F.element_at(xs2, 1), 4).alias("x0_r"),
-        F.round(F.element_at(ys2, -1), 4).alias("yl_r"),
+        _RND(F.element_at(xs2, 1), 4).alias("x0_r"),
+        _RND(F.element_at(ys2, -1), 4).alias("yl_r"),
     )
 
 
@@ -1435,8 +1448,8 @@ rn AS (
   FROM pts WHERE traj_id < 8
 )
 SELECT traj_id, CAST(n - 1 AS BIGINT) AS new_len,
-       round(arg_min(x * 0.75e0 + xn * 0.25e0, r), 4) AS x0_r,
-       round(arg_max(y * 0.75e0 + yn * 0.25e0, CASE WHEN r < n THEN r ELSE 0 END), 4) AS yl_r
+       (round(arg_min(x * 0.75e0 + xn * 0.25e0, r), 4) + 0e0) AS x0_r,
+       (round(arg_max(y * 0.75e0 + yn * 0.25e0, CASE WHEN r < n THEN r ELSE 0 END), 4) + 0e0) AS yl_r
 FROM rn WHERE r < n
 GROUP BY traj_id, n
 """
@@ -1452,7 +1465,7 @@ def q_porto_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = porto.clean_trips(trips)
     return out.select(
         "traj_id", F.col("trajlen").cast("long").alias("trajlen"),
-        F.round(F.element_at("merc_xs", 1), 2).alias("x0_r"),
+        _RND(F.element_at("merc_xs", 1), 2).alias("x0_r"),
     )
 
 
@@ -1464,7 +1477,7 @@ def q_porto_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = porto.trips_to_points(trips.where(~F.col("MISSING_DATA")))
     return pts.select(
         "traj_id", F.col("pos").cast("long").alias("pos"), "ts_ms",
-        F.round("lon", 6).alias("lon_r"), F.round("lat", 6).alias("lat_r"),
+        _RND("lon", 6).alias("lon_r"), _RND("lat", 6).alias("lat_r"),
     )
 
 
@@ -1477,7 +1490,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = multimodal.decode_features(media, decoder="fake", resize_to=8)
     return feats.select(
         "media_id", "kind",
-        F.round(F.aggregate("feat", F.lit(0.0), lambda a, v: a + v.cast("double")), 4).alias("feat_sum_r"),
+        _RND(F.aggregate("feat", F.lit(0.0), lambda a, v: a + v.cast("double")), 4).alias("feat_sum_r"),
     )
 
 
@@ -1496,7 +1509,7 @@ def q_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = multimodal.decode_features(media, decoder="real", resize_to=8)
     return feats.select(
         "media_id", "kind",
-        F.round(
+        _RND(
             F.aggregate("feat", F.lit(0.0), lambda a, v: a + v.cast("double")), 4
         ).alias("feat_sum_r"),
     )
@@ -1540,7 +1553,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered so queries with no CORRECTNESS row yet (r2 ran only the first
+    # 50) come FIRST — if the driver caps the run, never-yet-covered
+    # queries still land in the record.
     return {
+        "pages_points": q_pages_points,
+        "porto_clean": q_porto_clean,
+        "porto_points": q_porto_points,
+        "media_features": q_media_features,
+        "media_real": q_media_real,
+        "polygon_adjacency": q_polygon_adjacency,
         "points_derive": q_points,
         "cell_assign": q_cell_assign,
         "tile_pyramid": q_tile_pyramid,
@@ -1594,22 +1616,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "doc_fingerprint": q_fingerprint,
         "ann_ivf": q_ann_ivf,
-        "pages_points": q_pages_points,
-        "porto_clean": q_porto_clean,
-        "porto_points": q_porto_points,
-        "media_features": q_media_features,
-        "media_real": q_media_real,
-        "polygon_adjacency": q_polygon_adjacency,
     }
 
 
 # The driver's correctness gate runs at sf0.01; golden parquet is committed
-# for sf0.001 and sf0.01 (regenerate: python tools/gen_golden.py).
-_GOLDEN_DIR = "/root/repo/tests/golden/oracle/sf0.01"
+# for sf0.001 and sf0.01 (regenerate: python tools/gen_golden.py).  The dir
+# is derived from this file's location (repo-relocation-safe); the sf
+# subdirectory can be overridden via SPARK_GRAFT_ORACLE_SF for local gate
+# runs at other scale factors.
+import os as _os
+
+
+def _golden_dir() -> str:
+    return _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "tests", "golden", "oracle",
+        _os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01"),
+    )
 
 
 def _golden_sql(name: str) -> str:
-    return f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.parquet')"
+    return f"SELECT * FROM read_parquet('{_golden_dir()}/{name}.parquet')"
 
 
 _GOLDEN_QUERIES = (

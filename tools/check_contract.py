@@ -44,20 +44,30 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
-                both_nan = pd.isna(av) & pd.isna(bv)
-                eq = (av == bv) | both_nan
+                # Byte-exact, like the driver's value hash: -0.0 != +0.0 and
+                # NaN payloads must match bit-for-bit.  `==` would hide both.
+                af = av.astype(np.float64)
+                bf = bv.astype(np.float64)
+                eq = af.view("u8") == bf.view("u8")
+                nan_note = np.isnan(af) & np.isnan(bf) & ~eq
+                if nan_note.any():
+                    errs.append(f"column {c}: {int(nan_note.sum())} NaN bit-pattern mismatches")
             else:
                 eq = av == bv
             bad = int((~eq).sum())
             if bad:
                 k = int(np.flatnonzero(~eq)[0])
-                errs.append(f"column {c}: {bad} value mismatches, first at row {k}: {av[k]!r} vs {bv[k]!r}")
+                errs.append(f"column {c}: {bad} value mismatches (byte-exact), first at row {k}: {av[k]!r} vs {bv[k]!r}")
     return errs
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    import os
+    os.environ.setdefault(
+        "SPARK_GRAFT_ORACLE_SF", sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
     spark = get_spark(master="local[8]")
     con = duckdb.connect()
     for t in TABLES:

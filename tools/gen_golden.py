@@ -158,7 +158,7 @@ def g_similarity_edwp(sf_dir: str) -> pd.DataFrame:
     pls = polylines(load_points(sf_dir))
     n_blocks = max(5, len(pls) // 6)
     rows = [
-        (i, j, round(edwp_distance_vec(pls[i], pls[j]), 3))
+        (i, j, (round(edwp_distance_vec(pls[i], pls[j]), 3) + 0e0))
         for i, j in _block_pairs(list(pls), lambda t: t % n_blocks)
     ]
     return pd.DataFrame(rows, columns=["i", "j", "dist_r"]).astype(
@@ -175,7 +175,7 @@ def g_similarity_lcss(sf_dir: str) -> pd.DataFrame:
         for t, tr in polylines(pts).items()
     }
     rows = [
-        (i, j, round(lcss_distance_vec(pls[i], pls[j], 0.25), 6))
+        (i, j, (round(lcss_distance_vec(pls[i], pls[j], 0.25), 6) + 0e0))
         for i, j in _block_pairs(list(pls), lambda t: t % 5)
     ]
     return pd.DataFrame(rows, columns=["i", "j", "dist_r"]).astype(
@@ -186,7 +186,7 @@ def g_similarity_lcss(sf_dir: str) -> pd.DataFrame:
 def _pair_frame(sf_dir: str, kern, digits: int) -> pd.DataFrame:
     pls = polylines(load_points(sf_dir))
     rows = [
-        (i, j, round(kern(pls[i], pls[j]), digits))
+        (i, j, (round(kern(pls[i], pls[j]), digits) + 0e0))
         for i, j in _block_pairs(list(pls), lambda t: t % 5)
     ]
     return pd.DataFrame(rows, columns=["i", "j", "dist_r"]).astype(
@@ -205,7 +205,7 @@ def g_similarity_edr(sf_dir: str) -> pd.DataFrame:
         for t, tr in polylines(pts).items()
     }
     rows = [
-        (i, j, round(edr_distance_vec(pls[i], pls[j], 0.25), 6))
+        (i, j, (round(edr_distance_vec(pls[i], pls[j], 0.25), 6) + 0e0))
         for i, j in _block_pairs(list(pls), lambda t: t % 5)
     ]
     return pd.DataFrame(rows, columns=["i", "j", "dist_r"]).astype(
@@ -255,7 +255,7 @@ def g_embedding_near_dups(sf_dir: str, threshold: float = 0.999,
         a, b = idx[i], idx[j]
         cos = float(X[a] @ X[b] / (norms[a] * norms[b]))
         if cos >= threshold:
-            rows.append((i, j, round(cos, 6)))
+            rows.append((i, j, (round(cos, 6) + 0e0)))
     return pd.DataFrame(rows, columns=["i", "j", "cosine_r"]).astype(
         {"i": "int64", "j": "int64"}
     )
@@ -278,7 +278,7 @@ def g_measure_topk(sf_dir: str, k: int = 5, every: int = 30) -> pd.DataFrame:
             (hausdorff_distance(pls[q], pls[j]), j) for j in pls if j != q
         )
         for r, (d, j) in enumerate(scored[:k], start=1):
-            rows.append((q, j, r, round(d, 3)))
+            rows.append((q, j, r, (round(d, 3) + 0e0)))
     return pd.DataFrame(
         rows, columns=["query_id", "neighbor_id", "rank", "dist_r"]
     ).astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
@@ -303,7 +303,7 @@ def _newsimi_summary_frame(qs: dict, dbs: dict) -> pd.DataFrame:
         for t, v in d.items():
             if len(v) == 0:
                 continue
-            rows.append((role, t, len(v), round(v[0, 0], 4), round(v[-1, 1], 4)))
+            rows.append((role, t, len(v), (round(v[0, 0], 4) + 0e0), (round(v[-1, 1], 4) + 0e0)))
     return pd.DataFrame(
         rows, columns=["role", "traj_id", "n_pts", "x0_r", "yl_r"]
     ).astype({"traj_id": "int64", "n_pts": "int64"})
@@ -400,7 +400,7 @@ def g_silhouette(sf_dir: str) -> pd.DataFrame:
     sil = silhouette_from_matrix(dist, labels)
     return pd.DataFrame(
         {"n": np.array([len(labels)], dtype="int64"),
-         "silhouette_r": [round(sil, 4)]}
+         "silhouette_r": [(round(sil, 4) + 0e0)]}
     )
 
 
@@ -446,7 +446,7 @@ def g_minhash_lsh(sf_dir: str, num_perm: int = 64, bands: int = 16,
         union = sh[i].size + sh[j].size - inter
         jac = inter / union if union else 1.0
         if jac >= threshold:
-            rows.append((i, j, round(jac, 4)))
+            rows.append((i, j, (round(jac, 4) + 0e0)))
     return pd.DataFrame(rows, columns=["i", "j", "jaccard_r"]).astype(
         {"i": "int64", "j": "int64"}
     )
@@ -615,7 +615,7 @@ def g_porto_clean(sf_dir: str) -> pd.DataFrame:
         ):
             continue
         x0 = 6378137.0 * (poly[0][0] * DEG2RAD)
-        rows.append((trip_id, len(poly), round(x0, 2)))
+        rows.append((trip_id, len(poly), (round(x0, 2) + 0e0)))
     return pd.DataFrame(rows, columns=["traj_id", "trajlen", "x0_r"]).astype(
         {"trajlen": "int64"}
     )
@@ -634,7 +634,7 @@ def g_porto_points(sf_dir: str) -> pd.DataFrame:
         for pos, p in enumerate(poly):
             rows.append(
                 (trip_id, pos, (base_s + 15 * pos) * 1000,
-                 round(p[0], 6), round(p[1], 6))
+                 (round(p[0], 6) + 0e0), (round(p[1], 6) + 0e0))
             )
     return pd.DataFrame(
         rows, columns=["traj_id", "pos", "ts_ms", "lon_r", "lat_r"]
@@ -661,7 +661,7 @@ def g_media_features(sf_dir: str, n: int = 200, resize_to: int = 8) -> pd.DataFr
         acc = 0.0
         for v in f32:  # exact left fold, like Catalyst F.aggregate
             acc = acc + float(v)
-        rows.append((i, "image", round(acc, 4)))
+        rows.append((i, "image", (round(acc, 4) + 0e0)))
     return pd.DataFrame(rows, columns=["media_id", "kind", "feat_sum_r"]).astype(
         {"media_id": "int64"}
     )
@@ -679,7 +679,7 @@ def g_media_real(sf_dir: str) -> pd.DataFrame:
             acc = 0.0
             for v in feat:  # exact left fold, like Catalyst F.aggregate
                 acc = acc + float(v)
-            rows.append((i + off, kind, round(acc, 4)))
+            rows.append((i + off, kind, (round(acc, 4) + 0e0)))
     return pd.DataFrame(rows, columns=["media_id", "kind", "feat_sum_r"]).astype(
         {"media_id": "int64"}
     )

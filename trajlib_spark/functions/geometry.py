@@ -50,7 +50,9 @@ def bearing_radian(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Co
         .when(dy < 0.0, base + F.lit(TWO_PI))
         .otherwise(base)
     )
-    return F.round(r, 3)
+    # + 0.0 normalizes a possible IEEE -0.0 to +0.0 (byte-parity with the
+    # DuckDB oracle, which applies the matching `round(...) + 0e0`).
+    return F.round(r, 3) + F.lit(0.0)
 
 
 def minmax_norm(v: Column, minv: Column, maxv: Column) -> Column:
