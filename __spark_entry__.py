@@ -1192,6 +1192,50 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated cluster aggregation + greedy centroid merge
+    (/root/reference/clustering.py:125-144): per-shard DBSCAN clusters →
+    per-cluster size/centroid/radius aggregates → driver-side greedy
+    disjoint merge by centroid distance → merged clusters' centroid /
+    radius / size recomputed over ALL member segments, like merge_clus →
+    Cluster(all_segments) (:93-95) and the final report loop (:223-227).
+    The merge itself runs on #clusters rows (the reference's aggregation
+    step is equally centralized); member stats are recomputed distributed."""
+    segs = _cluster_input_segments(spark, sf_dir).persist()
+    labeled = cluster_ops.cluster_segments(segs, eps=4000.0, min_samples=2).persist()
+    agg = cluster_ops.cluster_aggregates(labeled, segs)
+    mapping = cluster_ops.federated_merge(agg, eps=20000.0)
+    mids = labeled.where(F.col("label") != -1).join(
+        segs.select(
+            "fed_id", "segment_id",
+            ((F.col("start_x") + F.col("end_x")) / 2).alias("mid_x"),
+            ((F.col("start_y") + F.col("end_y")) / 2).alias("mid_y"),
+        ),
+        ["fed_id", "segment_id"],
+    )
+    m = mids.join(F.broadcast(mapping), ["fed_id", "label"])
+    cent = m.groupBy("global_cluster").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.avg("mid_x").alias("cx"),
+        F.avg("mid_y").alias("cy"),
+    )
+    rad = m.join(F.broadcast(cent), "global_cluster").groupBy("global_cluster").agg(
+        F.max(
+            F.sqrt(
+                F.pow(F.col("mid_x") - F.col("cx"), F.lit(2.0))
+                + F.pow(F.col("mid_y") - F.col("cy"), F.lit(2.0))
+            )
+        ).alias("radius")
+    )
+    return cent.join(rad, "global_cluster").select(
+        F.col("global_cluster").cast("long").alias("global_cluster"),
+        "size",
+        _RND("cx", 2).alias("centroid_x_r"),
+        _RND("cy", 2).alias("centroid_y_r"),
+        _RND("radius", 2).alias("radius_r"),
+    )
+
+
 def _blocked_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points(spark, sf_dir).withColumn("fed_id", F.col("traj_id") % 5)
     polys = simi_ops.collect_polylines(
@@ -1563,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_real": q_media_real,
         "polygon_adjacency": q_polygon_adjacency,
+        "cluster_merge": q_cluster_merge,
         "points_derive": q_points,
         "cell_assign": q_cell_assign,
         "tile_pyramid": q_tile_pyramid,
@@ -1647,6 +1692,7 @@ _GOLDEN_QUERIES = (
     "newsimi_downsample", "newsimi_distort",
     "doc_fingerprint", "ann_ivf", "pages_points", "porto_clean",
     "porto_points", "media_features", "media_real", "polygon_adjacency",
+    "cluster_merge",
 )
 
 

@@ -46,6 +46,7 @@ from trajlib_spark.config import (  # noqa: E402
 )
 from trajlib_spark.kernels.clustering import (  # noqa: E402
     dbscan_precomputed,
+    greedy_merge,
     segment_distance_matrix,
     silhouette_from_matrix,
 )
@@ -387,6 +388,36 @@ def g_cluster_segments(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["fed_id", "segment_id", "label"]).astype(
         {"fed_id": "int64", "segment_id": "int64", "label": "int64"}
     )
+
+
+def g_cluster_merge(sf_dir: str) -> pd.DataFrame:
+    """Federated cluster aggregation + greedy centroid merge replica
+    (clustering.py:125-144, :223-227): per-fed DBSCAN at eps=4000, cluster
+    centroids (mean of member-segment midpoints), stable-sorted pairwise
+    greedy disjoint merge at eps=20000, merged stats recomputed over all
+    member midpoints — mirrors q_cluster_merge without Spark."""
+    segs = _segments_table(sf_dir)
+    clusters = []  # (fed, label, member midpoint array)
+    for fed, g in segs.groupby("fed_id", sort=True):
+        g = g.sort_values("segment_id", kind="mergesort")
+        _, labels = _labels_for_block(g, eps=4000.0)
+        mids = (g[["start_x", "start_y"]].to_numpy()
+                + g[["end_x", "end_y"]].to_numpy()) / 2.0
+        for lab in sorted({int(v) for v in labels} - {-1}):
+            clusters.append((int(fed), lab, mids[labels == lab]))
+    centroids = [tuple(m.mean(axis=0)) for _, _, m in clusters]
+    groups = greedy_merge(centroids, 20000.0)
+    rows = []
+    for gid, members in enumerate(groups):
+        mids = np.concatenate([clusters[m][2] for m in members])
+        cx, cy = mids.mean(axis=0)
+        radius = float(np.sqrt(((mids - [cx, cy]) ** 2).sum(axis=1)).max())
+        rows.append((gid, len(mids), (round(cx, 2) + 0e0),
+                     (round(cy, 2) + 0e0), (round(radius, 2) + 0e0)))
+    return pd.DataFrame(
+        rows, columns=["global_cluster", "size", "centroid_x_r",
+                       "centroid_y_r", "radius_r"],
+    ).astype({"global_cluster": "int64", "size": "int64"})
 
 
 SILHOUETTE_EPS = 4000.0  # multi-cluster regime (eps=50000 → 1 cluster → NaN)
@@ -749,6 +780,7 @@ GENERATORS = {
     "similarity_hausdorff": g_similarity_hausdorff,
     "measure_topk": g_measure_topk,
     "cluster_segments": g_cluster_segments,
+    "cluster_merge": g_cluster_merge,
     "silhouette": g_silhouette,
     "newsimi_downsample": g_newsimi_downsample,
     "newsimi_distort": g_newsimi_distort,
