@@ -1372,6 +1372,23 @@ def q_measure_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_measure_topk_lcss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN by normalized LCSS via the exact ε-match cell-blocked path
+    (similarity._lcss_edr_topk): candidates from a z-space anchor-cell
+    equi-join, non-candidates provably score 1.0 and fill the tail from
+    the smallest ids — no full-corpus scan, no crossJoin node."""
+    polys = simi_ops.normalize_polylines(
+        simi_ops.collect_polylines(_points(spark, sf_dir))
+    )
+    qs = polys.where(F.col("traj_id") % 30 == 0)
+    out = simi_ops.measure_topk(polys, qs, "lcss", k=5)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        _RND("dist", 6).alias("dist_r"),
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the documents table ships as ONE parquet file at test scale → one
     # scan task; fan it out so the Arrow signature/verify stages use every
@@ -1608,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_real": q_media_real,
         "polygon_adjacency": q_polygon_adjacency,
         "cluster_merge": q_cluster_merge,
+        "measure_topk_lcss": q_measure_topk_lcss,
         "points_derive": q_points,
         "cell_assign": q_cell_assign,
         "tile_pyramid": q_tile_pyramid,
@@ -1692,7 +1710,7 @@ _GOLDEN_QUERIES = (
     "newsimi_downsample", "newsimi_distort",
     "doc_fingerprint", "ann_ivf", "pages_points", "porto_clean",
     "porto_points", "media_features", "media_real", "polygon_adjacency",
-    "cluster_merge",
+    "cluster_merge", "measure_topk_lcss",
 )
 
 

@@ -314,6 +314,58 @@ def test_measure_topk_pruned_matches_brute(spark, points, measure):
     assert got == expect
 
 
+@pytest.mark.parametrize("measure", ["lcss", "edr"])
+def test_measure_topk_eps_match_bounded_matches_brute(spark, points, measure):
+    """The ε-match cell-blocked LCSS/EDR path is exact: non-candidates
+    provably score 1.0, so bounded == brute row-for-row with no cross join
+    in the plan (VERDICT r2 item 4)."""
+    pts = points.where(F.col("traj_id") < 40)
+    polys = similarity.normalize_polylines(similarity.collect_polylines(pts)).cache()
+    qs = polys.where(F.col("traj_id") % 8 == 0)
+    bounded = similarity.measure_topk(polys, qs, measure, k=5)
+    assert not _plan_has_cross_join(bounded)
+    brute = similarity.measure_topk(polys, qs, measure, k=5, brute=True)
+    got = bounded.orderBy("query_id", "rank").select(
+        "query_id", "neighbor_id", "rank").collect()
+    expect = brute.orderBy("query_id", "rank").select(
+        "query_id", "neighbor_id", "rank").collect()
+    assert got == expect
+
+
+@pytest.mark.parametrize("measure", ["lcss", "edr"])
+def test_measure_topk_eps_match_filler_tail(spark, measure):
+    """Clustered corpus where k exceeds the within-cluster candidate count:
+    every query needs dist-1.0 fillers (smallest non-candidate ids), which
+    must reproduce the brute ranking exactly."""
+    rng = np.random.RandomState(7)
+    rows = []
+    for c in range(10):
+        cx, cy = c * 50.0, (c % 3) * 40.0
+        for t in range(6):
+            tid = c * 6 + t
+            for p in range(8):
+                rows.append(
+                    (tid, p * 1000, p,
+                     float(cx + rng.randn() * 0.05),
+                     float(cy + rng.randn() * 0.05))
+                )
+    pts = spark.createDataFrame(
+        rows, "traj_id long, ts_ms long, point_id long, x double, y double"
+    )
+    polys = similarity.collect_polylines(pts).cache()
+    qs = polys.where(F.col("traj_id") % 6 == 0)
+    bounded = similarity.measure_topk(polys, qs, measure, k=8)
+    assert not _plan_has_cross_join(bounded)
+    brute = similarity.measure_topk(polys, qs, measure, k=8, brute=True)
+    got = bounded.orderBy("query_id", "rank").select(
+        "query_id", "neighbor_id", "rank", "dist").collect()
+    expect = brute.orderBy("query_id", "rank").select(
+        "query_id", "neighbor_id", "rank", "dist").collect()
+    assert got == expect
+    # the filler regime really happened: some top-k rows sit at exactly 1.0
+    assert any(r.dist == 1.0 for r in got)
+
+
 @pytest.mark.parametrize("measure", ["hausdorff", "frechet"])
 def test_measure_topk_pruned_localized_early_exit(spark, measure):
     """Compact trajectories scattered across the grid: the radius bound

@@ -285,6 +285,28 @@ def g_measure_topk(sf_dir: str, k: int = 5, every: int = 30) -> pd.DataFrame:
     ).astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
 
 
+def g_measure_topk_lcss(sf_dir: str, k: int = 5, every: int = 30) -> pd.DataFrame:
+    """Brute-force normalized-LCSS kNN — the oracle for the ε-match
+    cell-blocked path (non-candidates score exactly 1.0)."""
+    pts = load_points(sf_dir)
+    mx, sx = pts["x"].mean(), pts["x"].std(ddof=0)
+    my, sy = pts["y"].mean(), pts["y"].std(ddof=0)
+    pls = {
+        t: np.column_stack([(tr[:, 0] - mx) / sx, (tr[:, 1] - my) / sy])
+        for t, tr in polylines(pts).items()
+    }
+    rows = []
+    for q in sorted(t for t in pls if t % every == 0):
+        scored = sorted(
+            (lcss_distance_vec(pls[q], pls[j], 0.25), j) for j in pls if j != q
+        )
+        for r, (d, j) in enumerate(scored[:k], start=1):
+            rows.append((q, j, r, (round(d, 6) + 0e0)))
+    return pd.DataFrame(
+        rows, columns=["query_id", "neighbor_id", "rank", "dist_r"]
+    ).astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
+
+
 def _newsimi_slices(sf_dir: str, n_query: int = 10, n_db: int = 25):
     """Reference slicing (preprocessing_porto.py:94-117): test slice
     [int(0.8n), +n_db) of trajs ordered by id; query = even-index points of
@@ -779,6 +801,7 @@ GENERATORS = {
     "embedding_near_dups": g_embedding_near_dups,
     "similarity_hausdorff": g_similarity_hausdorff,
     "measure_topk": g_measure_topk,
+    "measure_topk_lcss": g_measure_topk_lcss,
     "cluster_segments": g_cluster_segments,
     "cluster_merge": g_cluster_merge,
     "silhouette": g_silhouette,

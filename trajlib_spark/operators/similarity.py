@@ -176,7 +176,7 @@ def _score_pairs(
     )
 
 
-def _traj_anchor(polys: DataFrame, id_alias: str, grid) -> DataFrame:
+def _traj_anchor(polys: DataFrame, id_alias: str, grid, id_col: str = "traj_id") -> DataFrame:
     """(id, xs, ys, anchor cell indices, radius): anchor = MBR center,
     radius = max point distance to the anchor — all Catalyst array
     arithmetic, one pass over the nested polyline."""
@@ -195,7 +195,7 @@ def _traj_anchor(polys: DataFrame, id_alias: str, grid) -> DataFrame:
     from . import cells as cell_ops
 
     return d.select(
-        F.col("traj_id").alias(id_alias),
+        F.col(id_col).alias(id_alias),
         "xs", "ys",
         cell_ops.x_idx(F.col("_ax"), F.col("_ay"), grid).alias("a_ix"),
         cell_ops.y_idx(F.col("_ax"), F.col("_ay"), grid).alias("a_iy"),
@@ -208,6 +208,148 @@ def _traj_anchor(polys: DataFrame, id_alias: str, grid) -> DataFrame:
 # measure ≥ minDist(sets) ≥ d(anchors) − r_q − r_d > R·min_unit − r_q − r_d.
 _METRIC_MEASURES = frozenset({"frechet", "hausdorff"})
 
+# Measures whose per-point match predicate is Chebyshev-ε (|dx|<ε ∧ |dy|<ε,
+# dp_distances._match_matrix): a pair with NO matching point pair scores
+# EXACTLY 1.0 (LCSS: LCS length 0 → 1 − 0/min = 1; EDR: all-miss
+# Levenshtein → max(m,n)/max(m,n) = 1), so candidates are exactly the
+# pairs whose anchors are within ε√2 + r_q + r_d — everything else can be
+# synthesized as dist = 1.0 without running the kernel.
+_EPS_MATCH_MEASURES = frozenset({"lcss", "edr"})
+
+
+def _lcss_edr_topk(
+    db_polys: DataFrame,
+    query_polys: DataFrame,
+    measure: str,
+    k: int,
+    eps: float,
+    id_col: str,
+    topk: Callable[[DataFrame], DataFrame],
+) -> DataFrame:
+    """Exact top-k for the ε-match measures WITHOUT a full-corpus scan.
+
+    Single-shot candidate generation in the (z-scored) coordinate space:
+    each trajectory gets an anchor (MBR center) + radius; db anchors land
+    in one δ-cell each, query anchors fan a Chebyshev ring sized to cover
+    ε√2 + r_q + max(r_db); candidate pairs come from the cell equi-join.
+    Non-candidates provably score exactly 1.0, so the top-k tail is filled
+    from the smallest non-candidate neighbor ids (prefix-doubled until
+    every query that lacks k strict-sub-1.0 candidates has k fillers) —
+    never a crossJoin node, never the full corpus per query."""
+    sqrt2 = 2.0 ** 0.5
+
+    def anchored(df: DataFrame, alias: str) -> DataFrame:
+        ax = (F.array_min("xs") + F.array_max("xs")) / 2
+        ay = (F.array_min("ys") + F.array_max("ys")) / 2
+        d = df.select(F.col(id_col).alias(alias), "xs", "ys").withColumns(
+            {"_ax": ax, "_ay": ay}
+        )
+        rad = F.sqrt(
+            F.array_max(
+                F.zip_with(
+                    "xs", "ys",
+                    lambda px, py: (px - F.col("_ax")) * (px - F.col("_ax"))
+                    + (py - F.col("_ay")) * (py - F.col("_ay")),
+                )
+            )
+        )
+        return d.withColumn("radius", rad)
+
+    db_a = anchored(db_polys, "j").persist()
+    q_a = anchored(query_polys, "i").persist()
+    r_dmax = float(db_a.agg(F.max("radius")).collect()[0][0])
+    r_qmax = float(q_a.agg(F.max("radius")).collect()[0][0])
+    match_r = eps * sqrt2
+    # δ trades ring size (query fan-out) against cell occupancy; ~6 rings
+    # keeps the fan ≤ ~13², and a larger δ only ADDS candidates (exactness
+    # never depends on δ)
+    delta = max(eps, (match_r + r_qmax + r_dmax) / 6.0)
+    db_cells = db_a.select(
+        "j",
+        F.floor(F.col("_ax") / delta).alias("cx"),
+        F.floor(F.col("_ay") / delta).alias("cy"),
+    )
+    db_lines = db_a.select("j", F.col("xs").alias("xs_d"), F.col("ys").alias("ys_d"))
+    q_lines = q_a.select("i", F.col("xs").alias("xs_q"), F.col("ys").alias("ys_q"))
+    # ring covers d₂(anchors) < ε√2 + r_q + r_dmax: Chebyshev cell distance
+    # ≤ d₂/δ + 1, hence ceil(T/δ) + 1 rings suffice
+    ring = F.ceil(
+        (F.lit(match_r + r_dmax) + F.col("radius")) / F.lit(delta)
+    ).cast("int") + F.lit(1)
+    fan = (
+        q_a.select("i", "_ax", "_ay", ring.alias("_ring"))
+        .withColumn("dx", F.explode(F.sequence(-F.col("_ring"), F.col("_ring"))))
+        .withColumn("dy", F.explode(F.sequence(-F.col("_ring"), F.col("_ring"))))
+        .select(
+            "i",
+            (F.floor(F.col("_ax") / delta) + F.col("dx")).alias("cx"),
+            (F.floor(F.col("_ay") / delta) + F.col("dy")).alias("cy"),
+        )
+    )
+    cand = (
+        fan.join(db_cells, ["cx", "cy"])
+        .where(F.col("i") != F.col("j"))
+        .select("i", "j")
+        .persist()
+    )
+    pairs = cand.join(q_lines, "i").join(db_lines, "j")
+    scored = _score_pairs(
+        pairs.select("i", "j", "xs_q", "ys_q", "xs_d", "ys_d"), measure, eps
+    ).persist()
+    scored.count()  # materialize before reusing cand below
+
+    # queries already exact: ≥ k candidates scoring strictly < 1.0 (then no
+    # dist-1.0 filler can enter their top-k)
+    strict = scored.where(F.col("dist") < 1.0).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_ns")
+    )
+    needy = (
+        q_a.select(F.col("i").alias("query_id"))
+        .join(strict.where(F.col("_ns") >= k), "query_id", "left_anti")
+        .persist()
+    )
+    fillers = None
+    if not needy.isEmpty():
+        spark = db_polys.sparkSession
+        n_db = db_a.count()
+        p = k + 16
+        while True:
+            prefix = [r.j for r in db_a.select("j").orderBy("j").limit(p).collect()]
+            fill = (
+                needy.withColumn(
+                    "neighbor_id", F.explode(F.array(*[F.lit(v) for v in prefix]))
+                )
+                .where(F.col("query_id") != F.col("neighbor_id"))
+                .join(
+                    cand.select(
+                        F.col("i").alias("query_id"), F.col("j").alias("neighbor_id")
+                    ),
+                    ["query_id", "neighbor_id"],
+                    "left_anti",
+                )
+                .persist()
+            )
+            if p >= n_db:
+                break
+            short = (
+                needy.join(
+                    fill.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nf")),
+                    "query_id", "left",
+                )
+                .where(F.coalesce(F.col("_nf"), F.lit(0)) < k)
+            )
+            if short.isEmpty():
+                break
+            fill.unpersist()
+            p = min(4 * p, n_db)
+        fillers = fill.withColumn("dist", F.lit(1.0))
+
+    out = scored
+    if fillers is not None:
+        out = scored.unionByName(fillers)
+    result = topk(out)
+    return result
+
 
 def measure_topk(
     db_polys: DataFrame,
@@ -218,6 +360,7 @@ def measure_topk(
     id_col: str = "traj_id",
     grid=None,
     ring: int | None = None,
+    brute: bool = False,
 ) -> DataFrame:
     """kNN by a true trajectory measure (the reference's knn-by-EDwP/LCSS,
     /root/reference/fedtraj/model/trainer/fed_trainer.py:445-452) →
@@ -232,9 +375,12 @@ def measure_topk(
     join against the full corpus (the reference instead caps its db at
     10 000, fed_trainer.py:447; the engine needs no cap).
 
-    Without ``grid`` (or for non-metric measures like normalized LCSS/EDR,
-    which admit no geometric bound): broadcast query × db pair table —
-    correct, bounded by the query count."""
+    ε-match measures (normalized LCSS / EDR): exact cell-blocked path —
+    non-candidates provably score 1.0, see _lcss_edr_topk (``brute=True``
+    forces the broadcast-scan fallback, kept for parity testing).
+
+    Otherwise (EDwP, which admits neither bound): broadcast query × db
+    pair table — correct, bounded by the query count."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
@@ -245,7 +391,10 @@ def measure_topk(
             .where(F.col("rank") <= k)
         )
 
-    if grid is None or measure not in _METRIC_MEASURES:
+    if measure in _EPS_MATCH_MEASURES and not brute:
+        return _lcss_edr_topk(db_polys, query_polys, measure, k, eps, id_col, topk)
+
+    if grid is None or measure not in _METRIC_MEASURES or brute:
         q = query_polys.select(
             F.col(id_col).alias("i"), F.col("xs").alias("xs_q"), F.col("ys").alias("ys_q")
         )
@@ -255,7 +404,9 @@ def measure_topk(
         joined = F.broadcast(q).crossJoin(db).where(F.col("i") != F.col("j"))
         return topk(_score_pairs(joined, measure, eps))
 
-    db_anchored = _traj_anchor(db_polys.select(id_col, "xs", "ys"), "j", grid).persist()
+    db_anchored = _traj_anchor(
+        db_polys.select(id_col, "xs", "ys"), "j", grid, id_col=id_col
+    ).persist()
     db_cells = db_anchored.select(
         "j", cell_id_expr("a_ix", "a_iy", grid).alias("cell_id")
     )
@@ -263,7 +414,9 @@ def measure_topk(
         "j", F.col("xs").alias("xs_d"), F.col("ys").alias("ys_d")
     )
     r_dmax = float(db_anchored.agg(F.max("radius")).collect()[0][0])
-    q_all = _traj_anchor(query_polys.select(id_col, "xs", "ys"), "i", grid).persist()
+    q_all = _traj_anchor(
+        query_polys.select(id_col, "xs", "ys"), "i", grid, id_col=id_col
+    ).persist()
     q_lines = q_all.select("i", F.col("xs").alias("xs_q"), F.col("ys").alias("ys_q"))
     r_qmin = float(q_all.agg(F.min("radius")).collect()[0][0])
 
