@@ -109,6 +109,10 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 3)
         log(f"  q {name}: {out[name]}s")
+        # operators persist bounded intermediates (signature/banded/anchor
+        # tables) whose blocks would otherwise accumulate across the 22×2
+        # timed runs and skew later queries (ADVICE r2)
+        spark.catalog.clearCache()
     return out
 
 

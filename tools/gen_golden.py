@@ -581,7 +581,9 @@ def g_ann_ivf(sf_dir: str, n_list: int = 32, n_probe: int = 8,
     ids = embs["vec_id"].astype("int64").to_numpy()
     X = np.stack([np.asarray(v, dtype=np.float64) for v in embs["embedding"]])
     # deterministic training sample: same hash order as train_centroids
-    order = np.lexsort((ids, (ids * SAMPLE_HASH_MULT) % SAMPLE_HASH_MOD))
+    # mirror of ann.train_centroids' overflow-safe hash: reduce mod MOD
+    # before multiplying (identical ordering for id < MOD)
+    order = np.lexsort((ids, ((ids % SAMPLE_HASH_MOD) * SAMPLE_HASH_MULT) % SAMPLE_HASH_MOD))
     S = X[order[:4096]]
     Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(11)

@@ -121,7 +121,12 @@ def train_centroids(
     rows = (
         corpus.select(F.col(vec_col), F.col(id_col))
         .orderBy(
-            (F.col(id_col).cast("long") * F.lit(SAMPLE_HASH_MULT)) % F.lit(SAMPLE_HASH_MOD),
+            # reduce the id mod MOD BEFORE multiplying: pmod(id) < 1e9 keeps
+            # the product < 2.7e18 < int64 max for ANY id, where id * MULT
+            # overflows (ANSI ArithmeticException) past id ≈ 3.5e9
+            # (ADVICE r2); identical ordering for id < MOD
+            (F.pmod(F.col(id_col).cast("long"), F.lit(SAMPLE_HASH_MOD))
+             * F.lit(SAMPLE_HASH_MULT)) % F.lit(SAMPLE_HASH_MOD),
             F.col(id_col),
         )
         .limit(sample)

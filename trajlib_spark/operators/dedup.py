@@ -41,8 +41,9 @@ def _minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarra
 
 
 def _stable_shingles(text: str, k: int) -> np.ndarray:
-    """Like _shingle_hashes but with a process-stable FNV-1a (python hash()
-    of str is salted per process — useless across executors)."""
+    """Hashes of all k-byte shingle windows with a process-stable FNV-1a
+    (python hash() of str is salted per process — useless across
+    executors)."""
     s = text.lower().encode("utf-8", "ignore")
     if len(s) < k:
         s = s + b" " * (k - len(s))
@@ -102,10 +103,18 @@ def minhash_signatures(
                 for d in range(len(bs) - 1):  # cross-doc windows never count
                     invalid[starts[d] + counts[d] : starts[d + 1]] = True
                 sig = np.empty((num_perm, len(bs)), dtype=np.uint64)
-                for p in range(num_perm):
-                    mixed = h * a[p] + b[p]
-                    mixed[invalid] = u64max
-                    sig[p] = np.minimum.reduceat(mixed, starts)
+                # permutations mixed in broadcast chunks (one fused pass per
+                # chunk instead of 64 full-array passes); chunk size bounds
+                # the (chunk × n_win) temporary to ~512 MB
+                chunk = max(1, min(8, int(512e6 // max(n_win * 8, 1))))
+                for p0 in range(0, num_perm, chunk):
+                    pa = a[p0 : p0 + chunk]
+                    pb = b[p0 : p0 + chunk]
+                    mixed = h[None, :] * pa[:, None] + pb[:, None]
+                    mixed[:, invalid] = u64max
+                    sig[p0 : p0 + chunk] = np.minimum.reduceat(
+                        mixed, starts, axis=1
+                    )
                 # store as signed 64-bit for the Spark LongType column
                 sigs = sig.T.astype(np.int64).tolist()
                 yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
@@ -145,12 +154,16 @@ def lsh_candidates(
     banded = banded.persist()
     a = banded.select(F.col(id_col).alias("i"), "band_idx", "bucket")
     b = banded.select(F.col(id_col).alias("j"), "band_idx", "bucket")
-    return (
+    cands = (
         a.join(b, ["band_idx", "bucket"])
         .where(F.col("i") < F.col("j"))
         .select("i", "j")
         .distinct()
+        .persist()
     )
+    cands.count()  # materialize the (small) pair table while banded is hot
+    banded.unpersist()  # release the big banded blocks (ADVICE r2)
+    return cands
 
 
 def ngram_jaccard_verify(

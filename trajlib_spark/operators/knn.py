@@ -140,8 +140,12 @@ def knn_join(
             "_found": F.count(F.lit(1)).over(wq),
             "_kth": F.max("dist_sq").over(wq),
         })
+        # strict <: a point just outside the R-window can sit at exactly
+        # R·min_unit, tie the kth distance, and win the (dist, id)
+        # tiebreak — a tie is not provably exact (ADVICE r2; same rule as
+        # measure_topk's certificate)
         exact = flagged.where(
-            (F.col("_found") == k) & (F.col("_kth") <= F.lit(horizon_sq))
+            (F.col("_found") == k) & (F.col("_kth") < F.lit(horizon_sq))
         ).drop("_found", "_kth")
         results.append(exact)
         exact_ids = exact.select("query_id").distinct()

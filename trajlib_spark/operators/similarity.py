@@ -474,10 +474,14 @@ def measure_topk(
         ).drop("_found", "_kth", "r_q")
         results.append(exact)
         exact_ids = exact.select("query_id").distinct()
-        remaining = remaining.join(
+        prev_remaining = remaining
+        remaining = prev_remaining.join(
             F.broadcast(exact_ids.withColumnRenamed("query_id", "i")), "i", "left_anti"
         ).persist()
-        if remaining.isEmpty():
+        empty = remaining.isEmpty()  # materializes the new round's table …
+        if prev_remaining is not q_all:
+            prev_remaining.unpersist()  # … so the superseded one can go
+        if empty:
             break
         r = min(4 * r, cover)
 

@@ -25,7 +25,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = (
@@ -86,12 +86,17 @@ class TableStore:
         per_file = written.groupBy(
             F.input_file_name().alias("_out_file")
         ).agg(F.count(F.lit(1)).alias("row_count"))
+        # partition ids via the partition-parallel two-pass row number
+        # (segment.global_row_number) instead of a single-task global
+        # window — one row per output file, but at 100 TB that is still
+        # millions of rows (VERDICT r2 cleanup)
+        from ..operators.segment import global_row_number
+
+        per_file, _ = global_row_number(per_file, ("_out_file",), out="_fidx")
         lineage = per_file.select(
             F.lit(self.run_id).alias("run_id"),
             F.lit(stage).alias("stage"),
-            # metadata-sized window: one row per OUTPUT FILE (not per data
-            # row), so the single-task rank is bounded by the file count
-            (F.dense_rank().over(Window.orderBy("_out_file")) - 1).alias("partition_id"),
+            F.col("_fidx").alias("partition_id"),
             F.lit(input_files).cast("array<string>").alias("input_files"),
             "row_count",
             F.lit(wall_ms).alias("wall_ms"),
