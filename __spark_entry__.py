@@ -16,6 +16,7 @@ EVERY ``queries()`` entry has an ``oracle_sql()`` entry — 56/56:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,6 +24,12 @@ from pyspark.sql import functions as F
 
 from trajlib_spark.config import (
     DIST_FEATURE_SCALE,
+    MAX_LAT,
+    MAX_LON,
+    MAX_TRAJ_LEN,
+    MIN_LAT,
+    MIN_LON,
+    MIN_TRAJ_LEN,
     PORTO_GRID,
     SESSION_GAP_S,
 )
@@ -1255,18 +1262,33 @@ def q_similarity_edr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table hyperplane LSH +
     exact Catalyst cosine verify. Random 64-dim vectors never reach
-    cosine 0.6, so the corpus is salted with exact duplicates (vec_id %
-    100 == 0 re-inserted at id+100000) — the detector must recover exactly
-    those pairs."""
-    embs = _embs(spark, sf_dir)
-    dups = embs.where(F.col("vec_id") % 100 == 0).withColumn(
+    cosine 0.6, so the corpus is salted with planted pairs of BOTH kinds:
+    exact duplicates (vec_id % 200 == 0) and TRUE near-duplicates
+    (vec_id % 200 == 100, perturbed by a fixed rational direction so
+    cosine lands ≈ 0.97 ∈ [0.95, 1)). The golden oracle is the
+    brute-force ≥ 0.95 pair set, and gen_golden asserts the LSH replica
+    recovers ALL of it — so this row certifies near-dup RECALL, not just
+    bucketing determinism (VERDICT r2 item 6). The perturbation uses only
+    exactly-rounded IEEE arithmetic (no transcendentals) for cross-engine
+    bit parity."""
+    embs = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    exact = embs.where(F.col("vec_id") % 200 == 0)
+    near = embs.where(F.col("vec_id") % 200 == 100).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + F.lit(0.05)
+            * (((i * 17) % 11 - 5).cast("double") / F.lit(5.0)),
+        ).alias("embedding"),
+    )
+    salted = exact.unionAll(near).withColumn(
         "vec_id", F.col("vec_id") + F.lit(100000)
     )
     out = dedup_ops.embedding_near_dups(
-        embs.select("vec_id", "embedding").unionAll(
-            dups.select("vec_id", "embedding")
-        ),
-        threshold=0.999,
+        embs.unionAll(salted), threshold=0.95
     )
     return out.select("i", "j", _RND("cosine", 6).alias("cosine_r"))
 
@@ -1516,13 +1538,27 @@ GROUP BY traj_id, n
 """
 
 
+# Committed porto-shaped CSV (tools/gen_porto_csv.py): the driver queries
+# exercise the REAL CSV scan path and the oracles are LIVE DuckDB SQL over
+# the same file (upgraded from golden parquet, VERDICT r2 item 7).
+_PORTO_CSV = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "porto.csv"
+)
+
+_PORTO_DUCK_COLS = (
+    "{'TRIP_ID':'VARCHAR','CALL_TYPE':'VARCHAR','ORIGIN_CALL':'VARCHAR',"
+    "'ORIGIN_STAND':'VARCHAR','TAXI_ID':'BIGINT','TIMESTAMP':'BIGINT',"
+    "'DAY_TYPE':'VARCHAR','MISSING_DATA':'BOOLEAN','POLYLINE':'VARCHAR'}"
+)
+
+
 def q_porto_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Porto CSV preprocess (missing/length/bbox filters + Mercator) over
-    the deterministic porto-shaped fixture (rows-only; semantics pytest-
-    checked against the reference filter rules)."""
+    """Porto CSV preprocess (missing/length/bbox filters + Mercator,
+    preprocessing_porto.py:35-69) over the committed porto.csv via the
+    real CSV scan (sources/porto.read_porto_csv)."""
     from trajlib_spark.sources import porto
 
-    trips = porto.porto_fixture(spark, 300)
+    trips = porto.read_porto_csv(spark, _PORTO_CSV)
     out = porto.clean_trips(trips)
     return out.select(
         "traj_id", F.col("trajlen").cast("long").alias("trajlen"),
@@ -1530,16 +1566,54 @@ def q_porto_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_PORTO_CLEAN = f"""
+WITH parsed AS (
+  SELECT TRIP_ID AS traj_id, MISSING_DATA,
+         CAST(POLYLINE::JSON AS DOUBLE[][]) AS seq
+  FROM read_csv('{_PORTO_CSV}', header=true, columns={_PORTO_DUCK_COLS})
+)
+SELECT traj_id, CAST(len(seq) AS BIGINT) AS trajlen,
+       (round(6378137.0e0 * (seq[1][1] * 0.017453292519943295e0), 2) + 0e0) AS x0_r
+FROM parsed
+WHERE NOT MISSING_DATA
+  AND len(seq) BETWEEN {MIN_TRAJ_LEN} AND {MAX_TRAJ_LEN}
+  AND len(list_filter(seq, p -> NOT (
+        p[1] > {_L(MIN_LON)} AND p[1] < {_L(MAX_LON)}
+        AND p[2] > {_L(MIN_LAT)} AND p[2] < {_L(MAX_LAT)}))) = 0
+"""
+
+
 def q_porto_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """POLYLINE explosion to the point table with 15-s cadence (rows-only)."""
+    """POLYLINE explosion to the point table with the reference's 15-s
+    cadence (porto.py:8-61), from the committed CSV."""
     from trajlib_spark.sources import porto
 
-    trips = porto.porto_fixture(spark, 200)
+    trips = porto.read_porto_csv(spark, _PORTO_CSV)
     pts = porto.trips_to_points(trips.where(~F.col("MISSING_DATA")))
     return pts.select(
         "traj_id", F.col("pos").cast("long").alias("pos"), "ts_ms",
         _RND("lon", 6).alias("lon_r"), _RND("lat", 6).alias("lat_r"),
     )
+
+
+SQL_PORTO_POINTS = f"""
+WITH parsed AS (
+  SELECT TRIP_ID AS traj_id, "TIMESTAMP" AS base_s,
+         CAST(POLYLINE::JSON AS DOUBLE[][]) AS seq
+  FROM read_csv('{_PORTO_CSV}', header=true, columns={_PORTO_DUCK_COLS})
+  WHERE NOT MISSING_DATA
+),
+exploded AS (
+  SELECT traj_id, base_s, unnest(seq) AS p,
+         unnest(range(len(seq))) AS pos   -- parallel unnests zip in DuckDB
+  FROM parsed
+)
+SELECT traj_id, CAST(pos AS BIGINT) AS pos,
+       (base_s + 15 * pos) * 1000 AS ts_ms,
+       (round(p[1], 6) + 0e0) AS lon_r,
+       (round(p[2], 6) + 0e0) AS lat_r
+FROM exploded
+"""
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1708,8 +1782,8 @@ _GOLDEN_QUERIES = (
     "embedding_near_dups", "measure_topk",
     "silhouette", "cluster_segments", "minhash_lsh", "simhash",
     "newsimi_downsample", "newsimi_distort",
-    "doc_fingerprint", "ann_ivf", "pages_points", "porto_clean",
-    "porto_points", "media_features", "media_real", "polygon_adjacency",
+    "doc_fingerprint", "ann_ivf", "pages_points",
+    "media_features", "media_real", "polygon_adjacency",
     "cluster_merge", "measure_topk_lcss",
 )
 
@@ -1755,6 +1829,8 @@ def _build_sql_oracles() -> dict[str, str]:
         "ann_cosine": SQL_ANN_COSINE,
         "symmetrize_norm": SQL_SYMMETRIZE_NORM,
         "newsimi_raw": SQL_NEWSIMI_RAW,
+        "porto_clean": SQL_PORTO_CLEAN,
+        "porto_points": SQL_PORTO_POINTS,
     }
 
 

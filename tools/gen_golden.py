@@ -214,22 +214,30 @@ def g_similarity_edr(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def g_embedding_near_dups(sf_dir: str, threshold: float = 0.999,
+def g_embedding_near_dups(sf_dir: str, threshold: float = 0.95,
                           n_planes: int = 12, n_tables: int = 4,
                           seed: int = 7) -> pd.DataFrame:
     """Pure-numpy replication of dedup.embedding_near_dups: the same
     rng-sequential hyperplane tables, sign-sketch buckets per table,
     candidate pairs per (table, bucket), exact cosine >= threshold.
+    The golden EMITTED here is the LSH-verified set, but generation
+    asserts it equals the brute-force >= threshold pair set — the planted
+    exact AND perturbed near-duplicates (cos ≈ 0.97) must all be
+    recovered, so the committed oracle certifies recall on this fixture.
     Boundary note: the only float divergence from Catalyst's left-fold sums
     is ≤1e-13, orders of magnitude inside the 6-dp rounding and the sign /
     threshold margins of random data."""
     embs = load_embs(sf_dir)
     ids = embs["vec_id"].astype("int64").to_numpy()
     X = np.stack([np.asarray(v, dtype=np.float64) for v in embs["embedding"]])
-    # salt with exact duplicates, mirroring q_embedding_near_dups
-    dup_mask = ids % 100 == 0
-    ids = np.concatenate([ids, ids[dup_mask] + 100000])
-    X = np.vstack([X, X[dup_mask]])
+    # salt with exact dups (id%200==0) + rational-perturbation near-dups
+    # (id%200==100), mirroring q_embedding_near_dups bit-for-bit
+    k = np.arange(X.shape[1])
+    pert = 0.05 * (((k * 17) % 11 - 5) / 5.0)
+    exact_mask = ids % 200 == 0
+    near_mask = ids % 200 == 100
+    ids = np.concatenate([ids, ids[exact_mask] + 100000, ids[near_mask] + 100000])
+    X = np.vstack([X, X[exact_mask], X[near_mask] + pert])
     rng = np.random.default_rng(seed)
     planes = np.vstack([rng.normal(size=(n_planes, X.shape[1]))
                         for _ in range(n_tables)])
@@ -257,6 +265,19 @@ def g_embedding_near_dups(sf_dir: str, threshold: float = 0.999,
         cos = float(X[a] @ X[b] / (norms[a] * norms[b]))
         if cos >= threshold:
             rows.append((i, j, (round(cos, 6) + 0e0)))
+    # recall certificate: the LSH-verified set must EQUAL the brute-force
+    # >= threshold pair set (all planted exact + near dups recovered); a
+    # miss here means n_tables/n_planes need retuning, not a weaker golden
+    Xn = X / norms[:, None]
+    C = Xn @ Xn.T
+    ai, bi = np.triu_indices(len(X), 1)
+    hit = C[ai, bi] >= threshold
+    brute = {
+        (min(int(ids[a]), int(ids[b])), max(int(ids[a]), int(ids[b])))
+        for a, b in zip(ai[hit], bi[hit])
+    }
+    got = {(int(i), int(j)) for i, j, _ in rows}
+    assert got == brute, f"LSH missed planted near-dups: {sorted(brute - got)}"
     return pd.DataFrame(rows, columns=["i", "j", "cosine_r"]).astype(
         {"i": "int64", "j": "int64"}
     )
@@ -653,49 +674,6 @@ def g_pages_points(sf_dir: str) -> pd.DataFrame:
     ).astype({"pos": "int64", "ts_ms": "int64", "cell_id": "int64"})
 
 
-def g_porto_clean(sf_dir: str) -> pd.DataFrame:
-    import json as _json
-
-    from trajlib_spark.sources.porto import porto_fixture_rows
-
-    rows = []
-    for r in porto_fixture_rows(300, seed=42):
-        trip_id, missing, poly = r[0], r[7], _json.loads(r[8])
-        if missing:
-            continue
-        if not (MIN_TRAJ_LEN <= len(poly) <= MAX_TRAJ_LEN):
-            continue
-        if not all(
-            MIN_LON < p[0] < MAX_LON and MIN_LAT < p[1] < MAX_LAT for p in poly
-        ):
-            continue
-        x0 = 6378137.0 * (poly[0][0] * DEG2RAD)
-        rows.append((trip_id, len(poly), (round(x0, 2) + 0e0)))
-    return pd.DataFrame(rows, columns=["traj_id", "trajlen", "x0_r"]).astype(
-        {"trajlen": "int64"}
-    )
-
-
-def g_porto_points(sf_dir: str) -> pd.DataFrame:
-    import json as _json
-
-    from trajlib_spark.sources.porto import porto_fixture_rows
-
-    rows = []
-    for r in porto_fixture_rows(200, seed=42):
-        trip_id, base_s, missing, poly = r[0], r[5], r[7], _json.loads(r[8])
-        if missing:
-            continue
-        for pos, p in enumerate(poly):
-            rows.append(
-                (trip_id, pos, (base_s + 15 * pos) * 1000,
-                 (round(p[0], 6) + 0e0), (round(p[1], 6) + 0e0))
-            )
-    return pd.DataFrame(
-        rows, columns=["traj_id", "pos", "ts_ms", "lon_r", "lat_r"]
-    ).astype({"pos": "int64", "ts_ms": "int64"})
-
-
 def g_media_features(sf_dir: str, n: int = 200, resize_to: int = 8) -> pd.DataFrame:
     from trajlib_spark.operators.multimodal import _fake_decode
 
@@ -814,8 +792,6 @@ GENERATORS = {
     "doc_fingerprint": g_doc_fingerprint,
     "ann_ivf": g_ann_ivf,
     "pages_points": g_pages_points,
-    "porto_clean": g_porto_clean,
-    "porto_points": g_porto_points,
     "media_features": g_media_features,
     "media_real": g_media_real,
     "polygon_adjacency": g_polygon_adjacency,
