@@ -26,6 +26,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from trajlib_spark.config import PORTO_GRID  # noqa: E402
 from trajlib_spark.operators import cells, extract, raster, spatial_join  # noqa: E402
 from trajlib_spark.session import get_spark, stop_spark  # noqa: E402
@@ -113,6 +115,98 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
         # tables) whose blocks would otherwise accumulate across the 22×2
         # timed runs and skew later queries (ADVICE r2)
         spark.catalog.clearCache()
+    return out
+
+
+def _jvm_peak_rss_gb() -> float:
+    """Peak RSS (VmHWM) of the largest java process — the local-mode
+    executor JVM — via /proc (no psutil in the container)."""
+    import glob
+
+    peak = 0
+    for comm in glob.glob("/proc/[0-9]*/comm"):
+        try:
+            if open(comm).read().strip() != "java":
+                continue
+            status = open(comm.replace("/comm", "/status")).read()
+            for line in status.splitlines():
+                if line.startswith("VmHWM:"):
+                    peak = max(peak, int(line.split()[1]))  # kB
+        except OSError:
+            continue
+    return round(peak / 1024 / 1024, 2)
+
+
+def _plan_skew_count(df) -> int:
+    """Number of AQE skew-split joins in the executed plan."""
+    return df._jdf.queryExecution().executedPlan().toString().count("skew=true")
+
+
+def sf1_pilot(sf_dir: str, cpus: int) -> dict:
+    """Scale pilot (VERDICT r2 item 8): one pass at 10× the bench scale —
+    20M-page flagship, 50k-doc minhash, 10×-trajectory measure_topk — to
+    surface skew/spill that local[32]@sf0.1 cannot. Records wall times,
+    the executor JVM's peak RSS, and AQE skew-split counts."""
+    import __spark_entry__ as E
+    from trajlib_spark.operators import dedup, similarity
+
+    out: dict = {"pages": 20_000_000}
+    spark = get_spark(app_name="bench-sf1", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    try:
+        # 1) flagship pipeline at 20M pages (generation cached, untimed)
+        pages_path = prepare_pages(spark, 20_000_000)
+        dt = run_pipeline_once(spark, sf_dir, pages_path, 20_000_000)
+        out["flagship_sec"] = round(dt, 2)
+        out["flagship_pages_per_sec"] = round(20_000_000 / dt, 1)
+
+        # 2) minhash dedup at 50k docs: 10 deterministically salted copies
+        # of the sf0.1 documents table (salt suffix changes the shingles)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        salted = docs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("_salt"),
+            "doc_id", "text",
+        ).select(
+            (F.col("doc_id") + F.col("_salt") * 1_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" #"), F.col("_salt").cast("string")).alias("text"),
+        ).repartition(cpus * 2, "doc_id")
+        t0 = time.time()
+        sigs = dedup.minhash_signatures(salted)
+        cands = dedup.lsh_candidates(sigs)
+        verified = dedup.ngram_jaccard_verify(salted, cands, threshold=0.5)
+        verified.write.format("noop").mode("overwrite").save()
+        out["minhash_docs"] = 50_000
+        out["minhash_sec"] = round(time.time() - t0, 2)
+        out["minhash_skew_splits"] = _plan_skew_count(verified)
+        spark.catalog.clearCache()
+
+        # 3) measure_topk (exact grid-pruned Hausdorff) over 10× the
+        # trajectory count: replicated trajectories with deterministic
+        # coordinate shifts -> 10× density in the same grid
+        pts = synth.synthetic_points(spark, sf_dir)
+        rep = pts.select(
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("_r"),
+            "traj_id", "ts_ms", "point_id", "x", "y",
+        ).select(
+            (F.col("traj_id") + F.col("_r") * 100_000).alias("traj_id"),
+            "ts_ms", "point_id",
+            (F.col("x") + F.col("_r") * F.lit(211.0)).alias("x"),
+            (F.col("y") - F.col("_r") * F.lit(173.0)).alias("y"),
+        )
+        polys = similarity.collect_polylines(rep).persist()
+        n_traj = polys.count()
+        qs = polys.where(F.col("traj_id") % 300 == 0)
+        t0 = time.time()
+        topk = similarity.measure_topk(polys, qs, "hausdorff", k=5,
+                                       grid=G, ring=8)
+        topk.write.format("noop").mode("overwrite").save()
+        out["measure_topk_trajs"] = int(n_traj)
+        out["measure_topk_sec"] = round(time.time() - t0, 2)
+        out["peak_jvm_rss_gb"] = _jvm_peak_rss_gb()
+    except Exception as ex:  # noqa: BLE001 — pilot must never sink the bench
+        out["error"] = f"{type(ex).__name__}: {ex}"
+    finally:
+        stop_spark(spark)
     return out
 
 
@@ -208,6 +302,10 @@ def main() -> None:
         },
     }
     result["scaling"]["pair_efficiencies"] = [round(e, 3) for e in pair_eff]
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        log("sf1 pilot: 20M-page flagship + 50k-doc minhash + 10x measure_topk")
+        result["sf1"] = sf1_pilot(sf_dir, cpus)
+        log(f"sf1: {result['sf1']}")
     # always persist the evidence document (--scaling kept as a no-op flag)
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
@@ -241,6 +339,17 @@ def main() -> None:
                 "Per-query timings (noop sink, seconds):\n\n"
                 + "\n".join(f"- {k}: {v}" for k, v in queries.items())
                 + "\n"
+                + (
+                    "\n## sf1 scale pilot (10× the bench scale, one pass)\n\n"
+                    + "\n".join(f"- {k}: {v}" for k, v in result["sf1"].items())
+                    + "\n\nFlagship at 20M pages, minhash dedup at 50k docs "
+                    "(10 salted copies), exact grid-pruned Hausdorff top-k at "
+                    "10× trajectory density — surfaces skew/spill regimes "
+                    "sf0.1 cannot. peak_jvm_rss_gb is the local-mode executor "
+                    "JVM's VmHWM; *_skew_splits counts AQE skew-split joins "
+                    "in the executed plans.\n"
+                    if "sf1" in result else ""
+                )
         )
     log("wrote BENCH/BASELINE.md")
     print(json.dumps(result))

@@ -173,8 +173,14 @@ def hausdorff_distance(t1: np.ndarray, t2: np.ndarray) -> float:
 
 def _lmap(p1x, p1y, p2x, p2y, px, py):
     """Project p onto segment (p1, p2), clamped to endpoints
-    (edwp.py:53-63)."""
-    l2 = (p1x - p2x) ** 2 + (p1y - p2y) ** 2
+    (edwp.py:53-63). Squares via explicit multiplication: `x ** 2` on a
+    float/np.float64 SCALAR routes through libm pow(), which on this
+    platform is 1 ulp off the exact square for ~0.07% of inputs, while
+    the numpy ARRAY path squares exactly — multiplication keeps the
+    scalar kernel bitwise-identical to edwp_distance_vec."""
+    dx = p1x - p2x
+    dy = p1y - p2y
+    l2 = dx * dx + dy * dy
     if l2 == 0.0:
         return px, py
     t = ((px - p1x) * (p2x - p1x) + (py - p1y) * (p2y - p1y)) / l2
@@ -186,7 +192,11 @@ def _lmap(p1x, p1y, p2x, p2y, px, py):
 
 
 def _d(ax, ay, bx, by) -> float:
-    return math.sqrt((ax - bx) ** 2 + (ay - by) ** 2)
+    # x*x, not x**2: scalar pow() is 1 ulp off the exact square for rare
+    # inputs (see _lmap) — exact multiplication matches the array path
+    dx = ax - bx
+    dy = ay - by
+    return math.sqrt(dx * dx + dy * dy)
 
 
 def edwp_distance(t1: np.ndarray, t2: np.ndarray) -> float:
