@@ -1651,7 +1651,9 @@ def q_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_polygon_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GeoRelation adjacency of polygons sharing a covering cell (rows-only)."""
+    """GeoRelation adjacency of polygons sharing a covering cell — LIVE
+    SQL oracle (round 3): DuckDB rebuilds the octagon vertices, bounded
+    MBR cell ranges, covering-cell self-join, and dense rel_id rank."""
     from trajlib_spark.data_model import polygon_adjacency
     from trajlib_spark.operators.spatial_join import polygon_covering_cells
 
@@ -1660,16 +1662,143 @@ def q_polygon_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polygon_adjacency(cov)
 
 
+def _bidx_sql(v: str, vmin: float, vmax: float, unit: float, size: int) -> str:
+    """SQL twin of spatial_join._bounded_idx (clamp to MBR edge)."""
+    return (
+        f"least({size - 1}, greatest(0, CAST(floor(floor("
+        f"greatest({_L(vmin)}, least({_L(vmax)}, {v})) - {_L(vmin)}"
+        f") / {_L(unit)}) AS BIGINT)))"
+    )
+
+
+def _polygon_adjacency_sql() -> str:
+    from trajlib_spark.sources.synth import _VERTS, polygons_base_sql
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT geo_id, {x} AS vx, {y} AS vy FROM poly_base" for x, y in _VERTS
+    )
+    return f"""
+WITH poly_base AS ({polygons_base_sql()}),
+verts AS ({arms}),
+bbox AS (
+  SELECT geo_id, min(vx) AS xlo, max(vx) AS xhi,
+         min(vy) AS ylo, max(vy) AS yhi
+  FROM verts GROUP BY geo_id
+),
+idx AS (
+  SELECT geo_id,
+         {_bidx_sql('xlo', G.x_min, G.x_max, G.x_unit, G.x_size)} AS ix_lo,
+         {_bidx_sql('xhi', G.x_min, G.x_max, G.x_unit, G.x_size)} AS ix_hi,
+         {_bidx_sql('ylo', G.y_min, G.y_max, G.y_unit, G.y_size)} AS iy_lo,
+         {_bidx_sql('yhi', G.y_min, G.y_max, G.y_unit, G.y_size)} AS iy_hi
+  FROM bbox
+),
+fx AS (SELECT geo_id, unnest(range(ix_lo, ix_hi + 1)) AS i_x, iy_lo, iy_hi FROM idx),
+fy AS (SELECT geo_id, i_x, unnest(range(iy_lo, iy_hi + 1)) AS i_y FROM fx),
+cc AS (SELECT geo_id, i_x * {G.y_size} + i_y AS cell_id FROM fy),
+pairs AS (
+  SELECT DISTINCT a.geo_id AS origin_id, b.geo_id AS dest_id
+  FROM cc a JOIN cc b ON a.cell_id = b.cell_id AND a.geo_id < b.geo_id
+)
+SELECT CAST(row_number() OVER (ORDER BY origin_id, dest_id) AS BIGINT) AS rel_id,
+       origin_id, dest_id
+FROM pairs
+"""
+
+
 def q_pages_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pages-mining slice of the flagship pipeline (deterministic pages
-    derived from the sf via a fixed N; rows-only — mining is regex/UDF)."""
+    """Pages-mining slice of the flagship pipeline: deterministic pages →
+    regex coordinate mining → strict bbox → Mercator → cell assignment.
+    LIVE SQL oracle (round 3): DuckDB regenerates the page coordinate
+    walk with HUGEINT hash arithmetic, replays the 6-dp format→parse
+    round-trip via printf, and applies the identical bbox/cell SQL."""
     n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 100000}.get(
         sf_dir.rstrip("/").rsplit("/", 1)[-1], 2000
     )
     pg = pages_src.generate_pages(spark, n)
     pts = extract_ops.pages_to_points(pg)
     out = cell_ops.with_cell(pts, G)
-    return out.select("url", "pos", "ts_ms", "cell_id")
+    return out.select(
+        "url", F.col("pos").cast("long").alias("pos"), "ts_ms", "cell_id"
+    )
+
+
+def sql_pages_points(n: int) -> str:
+    """DuckDB replica of q_pages_points at page count ``n`` — mirrors
+    sources/pages.make_page (hash walk, decoys, 6-dp text round-trip) and
+    operators/extract.pages_to_points + cells.with_cell operand-for-
+    operand. Hash products exceed int64 (python ints are unbounded), so
+    the SQL promotes to HUGEINT before the multiply."""
+    from trajlib_spark.config import LAT_SPAN, LON_SPAN
+    from trajlib_spark.sources.pages import _BASE_TS
+
+    lon0 = _L(MIN_LON + 0.0001)
+    lat0 = _L(MIN_LAT + 0.0001)
+    lon_span = _L(LON_SPAN - 0.0002)
+    lat_span = _L(LAT_SPAN - 0.0002)
+    cx, cy = G.center
+    inb = (
+        f"(x >= {_L(G.x_min)} AND x <= {_L(G.x_max)} "
+        f"AND y >= {_L(G.y_min)} AND y <= {_L(G.y_max)})"
+    )
+    return f"""
+WITH km AS (
+  SELECT i,
+         (i * 2654435761) % 10 AS mode,
+         1 + (i * 31) % 8 AS n_m
+  FROM range({n}) t(i)
+),
+ks AS (
+  SELECT i, mode,
+         unnest(range(CASE WHEN mode <= 6 THEN n_m
+                           WHEN mode = 7 THEN 2 ELSE 0 END)) AS k
+  FROM km
+),
+raw AS (
+  SELECT i, k,
+    CASE WHEN mode <= 6 THEN
+      {lat0} + CAST((CAST(i AS HUGEINT) * 998244353 + k * 104729 + 7)
+                    * 2654435761 % 999979 AS DOUBLE) / 999979.0e0 * {lat_span}
+    ELSE
+      CAST((CAST(i AS HUGEINT) * 7919 + k) * 2654435761 % 170000 AS DOUBLE)
+        / 1000.0e0 - 85.0e0
+    END AS la,
+    CASE WHEN mode <= 6 THEN
+      {lon0} + CAST((CAST(i AS HUGEINT) * 1000003 + k * 7919 + 13)
+                    * 2654435761 % 999983 AS DOUBLE) / 999983.0e0 * {lon_span}
+    ELSE
+      CAST((CAST(i AS HUGEINT) * 7907 + k) * 2654435761 % 359000 AS DOUBLE)
+        / 1000.0e0 - 179.5e0
+    END AS lo
+  FROM ks
+),
+mined AS (  -- the text embeds %.6f renderings; the miner reparses them
+  SELECT i, k AS pos,
+         CAST(printf('%.6f', la) AS DOUBLE) AS lat,
+         CAST(printf('%.6f', lo) AS DOUBLE) AS lon
+  FROM raw
+),
+pts AS (
+  SELECT i, pos, lat, lon,
+         {_L(6378137.0)} * (lon * {_L(0.017453292519943295)}) AS x,
+         {_L(3189068.5)} * ln((1.0e0 + sin(lat * {_L(0.017453292519943295)}))
+                              / (1.0e0 - sin(lat * {_L(0.017453292519943295)}))) AS y
+  FROM mined
+  WHERE lon > {_L(MIN_LON)} AND lon < {_L(MAX_LON)}
+    AND lat > {_L(MIN_LAT)} AND lat < {_L(MAX_LAT)}
+)
+SELECT
+  'https://site' || (i % 97) || '.example/' ||
+    CASE i % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'pt' WHEN 2 THEN 'zh'
+               ELSE 'de' END || '/page-' || i AS url,
+  CAST(pos AS BIGINT) AS pos,
+  ({_BASE_TS} + 15 * i) * 1000 + pos * 15000 AS ts_ms,
+  CAST(floor(floor((CASE WHEN {inb} THEN x ELSE {_L(cx)} END) - {_L(G.x_min)})
+             / {_L(G.x_unit)}) AS BIGINT) * {G.y_size}
+  + CAST(floor(floor((CASE WHEN {inb} THEN y ELSE {_L(cy)} END) - {_L(G.y_min)})
+               / {_L(G.y_unit)}) AS BIGINT) AS cell_id
+FROM pts
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1782,8 +1911,8 @@ _GOLDEN_QUERIES = (
     "embedding_near_dups", "measure_topk",
     "silhouette", "cluster_segments", "minhash_lsh", "simhash",
     "newsimi_downsample", "newsimi_distort",
-    "doc_fingerprint", "ann_ivf", "pages_points",
-    "media_features", "media_real", "polygon_adjacency",
+    "doc_fingerprint", "ann_ivf",
+    "media_features", "media_real",
     "cluster_merge", "measure_topk_lcss",
 )
 
@@ -1791,6 +1920,11 @@ _GOLDEN_QUERIES = (
 def oracle_sql() -> dict[str, str]:
     out = {name: _golden_sql(name) for name in _GOLDEN_QUERIES}
     out.update(_SQL_ORACLES)
+    # page count tracks the gate's scale factor (driver runs sf0.01)
+    sf = _os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01")
+    out["pages_points"] = sql_pages_points(
+        {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 100000}.get(sf, 2000)
+    )
     return out
 
 
@@ -1831,6 +1965,7 @@ def _build_sql_oracles() -> dict[str, str]:
         "newsimi_raw": SQL_NEWSIMI_RAW,
         "porto_clean": SQL_PORTO_CLEAN,
         "porto_points": SQL_PORTO_POINTS,
+        "polygon_adjacency": _polygon_adjacency_sql(),
     }
 
 

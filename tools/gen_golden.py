@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import math
 import os
-import re
 import sys
 
 import duckdb
@@ -644,35 +643,8 @@ def g_ann_ivf(sf_dir: str, n_list: int = 32, n_probe: int = 8,
 
 
 # --------------------------------------------------------------------------
-# pages / porto / media / polygons
+# media codecs
 # --------------------------------------------------------------------------
-
-_COORD_RE = re.compile(r"(-?\d{1,3}\.\d{6}), (-?\d{1,3}\.\d{6})")
-
-
-def g_pages_points(sf_dir: str) -> pd.DataFrame:
-    from trajlib_spark.sources.pages import make_page
-
-    n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 100000}.get(
-        sf_dir.rstrip("/").rsplit("/", 1)[-1], 2000
-    )
-    rows = []
-    for i in range(n):
-        url, ts_ms, _html, text, _lang = make_page(i, skew=False)
-        for pos, (a, b) in enumerate(_COORD_RE.findall(text)):
-            lat, lon = float(a), float(b)
-            if not (MIN_LON < lon < MAX_LON and MIN_LAT < lat < MAX_LAT):
-                continue
-            x = 6378137.0 * (lon * DEG2RAD)
-            s = math.sin(lat * DEG2RAD)
-            y = 3189068.5 * math.log((1.0 + s) / (1.0 - s))
-            ix = int(math.floor(math.floor(x - G.x_min) / G.x_unit))
-            iy = int(math.floor(math.floor(y - G.y_min) / G.y_unit))
-            rows.append((url, pos, ts_ms + pos * 15000, ix * G.y_size + iy))
-    return pd.DataFrame(
-        rows, columns=["url", "pos", "ts_ms", "cell_id"]
-    ).astype({"pos": "int64", "ts_ms": "int64", "cell_id": "int64"})
-
 
 def g_media_features(sf_dir: str, n: int = 200, resize_to: int = 8) -> pd.DataFrame:
     from trajlib_spark.operators.multimodal import _fake_decode
@@ -718,57 +690,6 @@ def g_media_real(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def g_polygon_adjacency(sf_dir: str) -> pd.DataFrame:
-    keys = load_nation_keys(sf_dir)
-    covering: dict[int, set[int]] = {}
-
-    def bidx(v: float, v_min: float, v_max: float, unit: float, size: int) -> int:
-        c = max(v_min, min(v_max, v))
-        idx = int(math.floor(math.floor(c - v_min) / unit))
-        return max(0, min(size - 1, idx))
-
-    for nk in keys:
-        cx = (G.x_min + 1000.0) + (float((nk * LON_HASH_MULT) % 997) / 997.0) * (
-            (G.x_max - G.x_min) - 2000.0
-        )
-        cy = (G.y_min + 1000.0) + (float((nk * LAT_HASH_MULT + 7) % 991) / 991.0) * (
-            (G.y_max - G.y_min) - 2000.0
-        )
-        hw = 400.0 + float((nk * 37) % 23) * 100.0
-        hh = 300.0 + float((nk * 53) % 19) * 100.0
-        cut = 0.4 * min(hw, hh)
-        verts = [
-            ((cx - hw) + cut, cy - hh), ((cx + hw) - cut, cy - hh),
-            (cx + hw, (cy - hh) + cut), (cx + hw, (cy + hh) - cut),
-            ((cx + hw) - cut, cy + hh), ((cx - hw) + cut, cy + hh),
-            (cx - hw, (cy + hh) - cut), (cx - hw, (cy - hh) + cut),
-        ]
-        xs = [v[0] for v in verts]
-        ys2 = [v[1] for v in verts]
-        ix_lo = bidx(min(xs), G.x_min, G.x_max, G.x_unit, G.x_size)
-        ix_hi = bidx(max(xs), G.x_min, G.x_max, G.x_unit, G.x_size)
-        iy_lo = bidx(min(ys2), G.y_min, G.y_max, G.y_unit, G.y_size)
-        iy_hi = bidx(max(ys2), G.y_min, G.y_max, G.y_unit, G.y_size)
-        cells = {
-            ix * G.y_size + iy
-            for ix in range(ix_lo, ix_hi + 1)
-            for iy in range(iy_lo, iy_hi + 1)
-        }
-        covering[nk] = cells
-    pairs = set()
-    ks = sorted(keys)
-    for a in range(len(ks)):
-        for b in range(a + 1, len(ks)):
-            if covering[ks[a]] & covering[ks[b]]:
-                pairs.add((ks[a], ks[b]))
-    rows = [
-        (r, o, d) for r, (o, d) in enumerate(sorted(pairs), start=1)
-    ]
-    return pd.DataFrame(rows, columns=["rel_id", "origin_id", "dest_id"]).astype(
-        {"rel_id": "int64", "origin_id": "int64", "dest_id": "int64"}
-    )
-
-
 # --------------------------------------------------------------------------
 
 GENERATORS = {
@@ -791,10 +712,8 @@ GENERATORS = {
     "simhash": g_simhash,
     "doc_fingerprint": g_doc_fingerprint,
     "ann_ivf": g_ann_ivf,
-    "pages_points": g_pages_points,
     "media_features": g_media_features,
     "media_real": g_media_real,
-    "polygon_adjacency": g_polygon_adjacency,
 }
 
 
