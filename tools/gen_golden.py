@@ -708,44 +708,125 @@ def g_ann_ivf(sf_dir: str, n_list: int = 32, n_probe: int = 8,
 # media codecs
 # --------------------------------------------------------------------------
 
-def g_media_features(sf_dir: str, n: int = 200, resize_to: int = 8) -> pd.DataFrame:
-    from trajlib_spark.operators.multimodal import _fake_decode
+# INDEPENDENT media replicas (no multimodal.py imports): the fixture
+# payload rules and the PPM/BMP/WAV wire formats are public specs; the
+# decoders below parse them from scratch (manual RIFF walk, fixed DIB
+# header offsets) rather than reusing the engine's codecs.
 
+def _indep_block_mean_sum(img: np.ndarray, resize_to: int = 8) -> float:
+    h, w = img.shape
+    ys = np.linspace(0, h, resize_to + 1).astype(int)
+    xs = np.linspace(0, w, resize_to + 1).astype(int)
+    feat = np.empty((resize_to, resize_to))
+    for a in range(resize_to):
+        for b in range(resize_to):
+            blk = img[ys[a]:max(ys[a + 1], ys[a] + 1),
+                      xs[b]:max(xs[b + 1], xs[b] + 1)]
+            feat[a, b] = blk.mean()
+    f32 = (feat / 255.0).ravel().astype(np.float32)
+    acc = 0.0
+    for v in f32:  # exact left fold, like Catalyst F.aggregate
+        acc = acc + float(v)
+    return acc
+
+
+def _indep_gray(rgb: np.ndarray) -> np.ndarray:
+    return (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2])
+
+
+def _fixture_rgb(i: int) -> np.ndarray:
+    """The deterministic gradient the fixture embeds (FIXTURES.md §F5)."""
+    w, h = 32 + i % 64, 32 + (i * 3) % 64
+    yy, xx, cc = np.meshgrid(np.arange(h), np.arange(w), np.arange(3),
+                             indexing="ij")
+    return ((i * 131 + yy * 7 + xx * 13 + cc * 29) % 256).astype(np.uint8)
+
+
+def _indep_ppm_decode(payload: bytes) -> np.ndarray:
+    """Minimal P6 parse: three whitespace-separated header ints, one
+    whitespace byte, raw RGB raster."""
+    assert payload[:2] == b"P6"
+    header, _, _ = payload.partition(b"255\n")
+    dims = header.split()[1:3]
+    w, h = int(dims[0]), int(dims[1])
+    off = len(header) + 4
+    return np.frombuffer(payload, np.uint8, w * h * 3, off).reshape(h, w, 3)
+
+
+def _indep_bmp_decode(payload: bytes) -> np.ndarray:
+    """24-bit DIB: pixel offset @10, width @18, height @22; bottom-up BGR
+    rows padded to 4 bytes."""
+    assert payload[:2] == b"BM"
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, np.uint8, stride * abs(h), off)
+    img = rows.reshape(abs(h), stride)[:, :w * 3].reshape(abs(h), w, 3)
+    if h > 0:
+        img = img[::-1]
+    return img[:, :, ::-1]
+
+
+def _indep_wav_samples(payload: bytes) -> np.ndarray:
+    """Manual RIFF chunk walk to the PCM16 'data' chunk (no wave module)."""
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    pos = 12
+    while pos < len(payload):
+        cid = payload[pos:pos + 4]
+        clen = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        if cid == b"data":
+            return np.frombuffer(payload, "<i2", clen // 2, pos + 8)
+        pos += 8 + clen + (clen & 1)
+    raise ValueError("no data chunk")
+
+
+def g_media_features(sf_dir: str, n: int = 200, resize_to: int = 8) -> pd.DataFrame:
     rows = []
     for i in range(n):
         payload = bytes(((i * 131 + k * 17) % 251) for k in range(64))
         w, h = 32 + i % 64, 32 + (i * 3) % 64
-        img = _fake_decode(payload, w, h).astype(np.float64)
-        ys = np.linspace(0, h, resize_to + 1).astype(int)
-        xs = np.linspace(0, w, resize_to + 1).astype(int)
-        feat = np.empty((resize_to, resize_to))
-        for a in range(resize_to):
-            for b in range(resize_to):
-                blk = img[ys[a]:max(ys[a + 1], ys[a] + 1),
-                          xs[b]:max(xs[b + 1], xs[b] + 1)]
-                feat[a, b] = blk.mean()
-        f32 = (feat / 255.0).ravel().astype(np.float32)
-        acc = 0.0
-        for v in f32:  # exact left fold, like Catalyst F.aggregate
-            acc = acc + float(v)
-        rows.append((i, "image", (round(acc, 4) + 0e0)))
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        reps = -(-(w * h) // len(arr))  # ceil division
+        img = np.tile(arr, reps)[: w * h].reshape(h, w).astype(np.float64)
+        rows.append((i, "image", (round(_indep_block_mean_sum(img, resize_to), 4) + 0e0)))
     return pd.DataFrame(rows, columns=["media_id", "kind", "feat_sum_r"]).astype(
         {"media_id": "int64"}
     )
 
 
 def g_media_real(sf_dir: str) -> pd.DataFrame:
-    from trajlib_spark.operators.multimodal import _decode_real, _media_row
+    """Independent round trip: rebuild the fixture payloads with the
+    ENGINE encoders' input rules, but decode with the standalone parsers
+    above and recompute the features from the published formulas."""
+    from trajlib_spark.operators.multimodal import encode_bmp, encode_ppm, encode_wav
 
     rows = []
     for fmt, kind, off, n in (("ppm", "image", 0, 80), ("bmp", "image", 1000, 60),
                               ("wav", "audio", 2000, 60)):
         for i in range(n):
-            _id, _kind, payload, meta = _media_row(i, kind, fmt)
-            feat = _decode_real(payload, meta["codec"], 8)
-            acc = 0.0
-            for v in feat:  # exact left fold, like Catalyst F.aggregate
-                acc = acc + float(v)
+            if fmt in ("ppm", "bmp"):
+                rgb = _fixture_rgb(i)
+                payload = encode_ppm(rgb) if fmt == "ppm" else encode_bmp(rgb)
+                dec = _indep_ppm_decode(payload) if fmt == "ppm" else _indep_bmp_decode(payload)
+                assert (dec == rgb).all(), (fmt, i)  # decode must invert encode
+                acc = _indep_block_mean_sum(_indep_gray(dec.astype(np.float64)))
+            else:
+                n_s = 1600 + (i * 37) % 800
+                t = np.arange(n_s)
+                samples = (np.sin(t * (0.01 + (i % 10) * 0.003)) * 8000.0).astype(np.int16)
+                x = _indep_wav_samples(encode_wav(samples)).astype(np.float64)
+                assert len(x) == n_s
+                n_blocks = 64
+                edges = np.linspace(0, len(x), n_blocks + 1).astype(int)
+                feat = np.empty(n_blocks)
+                for b in range(n_blocks):
+                    blk = x[edges[b]:max(edges[b + 1], edges[b] + 1)]
+                    feat[b] = np.sqrt((blk * blk).mean())
+                f32 = (feat / 32768.0).astype(np.float32)
+                acc = 0.0
+                for v in f32:
+                    acc = acc + float(v)
             rows.append((i + off, kind, (round(acc, 4) + 0e0)))
     return pd.DataFrame(rows, columns=["media_id", "kind", "feat_sum_r"]).astype(
         {"media_id": "int64"}
