@@ -1801,6 +1801,20 @@ FROM pts
 """
 
 
+def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HMM map matching (SURVEY §2.13, map_match.py:176-213 analog):
+    synthetic road grid → halo'd edge-cell candidate join → per-trajectory
+    Viterbi (distance HMM, obs_noise 50 m / max_dist 300 m like the
+    reference's DistanceMatcher config) → matched edge per point."""
+    from trajlib_spark.operators import map_match as mm_ops
+    from trajlib_spark.sources import roads
+
+    _, edge_nodes, _ = roads.road_grid_arrays(G)
+    edges = roads.road_edges(spark, G)
+    pc = _points_cells(spark, sf_dir)
+    return mm_ops.match_trajectories(pc, edges, G, edge_nodes)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1829,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_adjacency": q_polygon_adjacency,
         "cluster_merge": q_cluster_merge,
         "measure_topk_lcss": q_measure_topk_lcss,
+        "map_match": q_map_match,
         "points_derive": q_points,
         "cell_assign": q_cell_assign,
         "tile_pyramid": q_tile_pyramid,
@@ -1913,7 +1928,7 @@ _GOLDEN_QUERIES = (
     "newsimi_downsample", "newsimi_distort",
     "doc_fingerprint", "ann_ivf",
     "media_features", "media_real",
-    "cluster_merge", "measure_topk_lcss",
+    "cluster_merge", "measure_topk_lcss", "map_match",
 )
 
 

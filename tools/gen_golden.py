@@ -705,6 +705,40 @@ def g_ann_ivf(sf_dir: str, n_list: int = 32, n_probe: int = 8,
 
 
 # --------------------------------------------------------------------------
+# map matching
+# --------------------------------------------------------------------------
+
+def g_map_match(sf_dir: str) -> pd.DataFrame:
+    """Replica of q_map_match WITHOUT Spark: candidates from an
+    INDEPENDENT brute search over every edge (the operator uses a halo'd
+    cell equi-join), matched by the Viterbi kernel (itself pinned to an
+    exhaustive state-sequence brute force in tests/test_map_match.py)."""
+    from trajlib_spark.kernels import viterbi as vk
+    from trajlib_spark.sources.roads import road_grid_arrays
+
+    _, edge_nodes, edge_xy = road_grid_arrays(G)
+    pts = load_points(sf_dir)
+    rows = []
+    for tid, g in pts.groupby("traj_id", sort=True):
+        g = g.sort_values(["ts_ms", "point_id"], kind="mergesort")
+        pxy = g[["x", "y"]].to_numpy()
+        ce, cd = [], []
+        for px, py in pxy:
+            d = vk.point_segment_dist(
+                px, py, edge_xy[:, 0], edge_xy[:, 1], edge_xy[:, 2], edge_xy[:, 3]
+            )
+            keep = np.flatnonzero(d <= vk.MAX_DIST_M)
+            ce.append(keep.astype(np.int64))
+            cd.append(d[keep])
+        matched = vk.viterbi_match(pxy, ce, cd, edge_nodes)
+        for pid, e in zip(g["point_id"], matched):
+            rows.append((int(tid), int(pid), int(e)))
+    return pd.DataFrame(rows, columns=["traj_id", "point_id", "edge_id"]).astype(
+        {"traj_id": "int64", "point_id": "int64", "edge_id": "int64"}
+    )
+
+
+# --------------------------------------------------------------------------
 # media codecs
 # --------------------------------------------------------------------------
 
@@ -857,6 +891,7 @@ GENERATORS = {
     "ann_ivf": g_ann_ivf,
     "media_features": g_media_features,
     "media_real": g_media_real,
+    "map_match": g_map_match,
 }
 
 
