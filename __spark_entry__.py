@@ -654,6 +654,62 @@ grid AS (
 SQL_NEIGHBOUR_PAIRS = _sql_neighbour_pairs()
 
 
+def q_cell_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec walk generation over the cell graph (p = q = 1, the
+    reference's own config — node2vec_.py:19-29): 2 deterministic uniform
+    walks of 12 positions from every cell the points table touches.
+    The torch SGD embedding stays a documented non-goal; this is the
+    data-pipeline half, LIVE-SQL-oracled (the walk unrolls to 11 chained
+    adjacency joins with an integer hash chooser in both engines)."""
+    from trajlib_spark.operators import walks as walks_ops
+
+    pairs = cell_ops.neighbour_cell_pairs(spark, G)
+    starts = _points_cells(spark, sf_dir).select("cell_id").distinct()
+    return walks_ops.node2vec_walks(pairs, starts, walk_length=12, walks_per_node=2)
+
+
+def _sql_cell_walks(walk_length: int = 12, wpn: int = 2) -> str:
+    from trajlib_spark.operators.walks import _HASH_A, _HASH_B, _HASH_C, _HASH_M
+
+    np_sql = _sql_neighbour_pairs()  # complete WITH-query; embed as subquery
+    steps = []
+    sel = ["SELECT walk_id, CAST(0 AS BIGINT) AS pos, cur AS cell_id FROM f0"]
+    for s in range(1, walk_length):
+        h = f"((f{s-1}.walk_id * {_HASH_A} + {s * _HASH_B + _HASH_C}) % {_HASH_M})"
+        steps.append(
+            f"f{s} AS (SELECT f{s-1}.walk_id, a.dst AS cur FROM f{s-1} "
+            f"JOIN adj a ON a.src = f{s-1}.cur AND a.ordinal = {h} % a.degree)"
+        )
+        sel.append(f"SELECT walk_id, CAST({s} AS BIGINT), cur FROM f{s}")
+    steps_sql = ",\n".join(steps)
+    union_sql = " UNION ALL ".join(sel)
+    return f"""
+{_PRELUDE},
+np AS ({np_sql}),
+und AS (
+  SELECT src_cell AS src, dst_cell AS dst FROM np
+  UNION ALL
+  SELECT dst_cell, src_cell FROM np
+),
+adj AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS ordinal,
+         count(*) OVER (PARTITION BY src) AS degree
+  FROM und
+),
+starts AS (SELECT DISTINCT cell_id FROM cells),
+f0 AS (
+  SELECT s.cell_id * {wpn} + v.w AS walk_id, s.cell_id AS cur
+  FROM starts s, (SELECT unnest(range({wpn})) AS w) v
+),
+{steps_sql}
+{union_sql}
+"""
+
+
+SQL_CELL_WALKS = _sql_cell_walks()
+
+
 def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Great-circle step distances with the reference's 6367 km radius."""
     from pyspark.sql import Window
@@ -1844,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_merge": q_cluster_merge,
         "measure_topk_lcss": q_measure_topk_lcss,
         "map_match": q_map_match,
+        "cell_walks": q_cell_walks,
         "points_derive": q_points,
         "cell_assign": q_cell_assign,
         "tile_pyramid": q_tile_pyramid,
@@ -1981,6 +2038,7 @@ def _build_sql_oracles() -> dict[str, str]:
         "porto_clean": SQL_PORTO_CLEAN,
         "porto_points": SQL_PORTO_POINTS,
         "polygon_adjacency": _polygon_adjacency_sql(),
+        "cell_walks": SQL_CELL_WALKS,
     }
 
 

@@ -1,0 +1,52 @@
+"""node2vec walk generation (cell-graph embedding input, SURVEY §2.4):
+distributed walks must equal the pure-python replica, be deterministic
+across partitionings, and follow real graph edges."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trajlib_spark.config import PORTO_GRID
+from trajlib_spark.operators import cells, walks
+
+G = PORTO_GRID
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    return cells.neighbour_cell_pairs(spark, G).persist()
+
+
+def test_walks_match_python_replica(spark, pairs):
+    starts = spark.createDataFrame(
+        [(5,), (100,), (2481,), (7000,)], "cell_id long"
+    )
+    got = sorted(
+        (r.walk_id, r.pos, r.cell_id)
+        for r in walks.node2vec_walks(pairs, starts, 8, 3).collect()
+    )
+    pair_rows = [(r.src_cell, r.dst_cell) for r in pairs.collect()]
+    expect = sorted(walks.walks_py(pair_rows, [5, 100, 2481, 7000], 8, 3))
+    assert got == expect
+    # full length, every start covered
+    assert len(got) == 4 * 3 * 8
+
+
+def test_walks_follow_edges_and_are_deterministic(spark, pairs):
+    starts = spark.createDataFrame([(42,)], "cell_id long")
+    a = walks.node2vec_walks(pairs, starts, 6, 2).collect()
+    b = walks.node2vec_walks(pairs.repartition(7), starts, 6, 2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    adj = {}
+    for r in pairs.collect():
+        adj.setdefault(r.src_cell, set()).add(r.dst_cell)
+        adj.setdefault(r.dst_cell, set()).add(r.src_cell)
+    by_walk = {}
+    for r in a:
+        by_walk.setdefault(r.walk_id, {})[r.pos] = r.cell_id
+    for wid, seq in by_walk.items():
+        path = [seq[p] for p in sorted(seq)]
+        assert path[0] == 42
+        for u, v in zip(path, path[1:]):
+            assert v in adj[u], (wid, u, v)

@@ -1,0 +1,119 @@
+"""node2vec random-walk generation over the cell graph, Spark-first.
+
+The reference trains cell embeddings with torch-geometric's Node2Vec over
+the neighbour-cell edge list (/root/reference/fedtraj/model/layers/
+node2vec_.py:19-29: walk_length=50, walks_per_node=10, p=1, q=1). With
+p = q = 1 the walk sampler degenerates to UNIFORM random walks, which is
+the data-pipeline half of that operator — generated here distributed and
+deterministically; the SGD embedding training itself stays a documented
+non-goal (torch is not in this environment, SURVEY §7.3).
+
+Plan shape: the undirected adjacency gets a per-source neighbor ordinal
+(row_number by dst) and a degree column; each walk step is one equi-join
+of the walk frontier against the adjacency on (src, chosen ordinal),
+where the choice is a deterministic integer hash of (walk_id, step) mod
+degree — no RNG state, any executor layout reproduces the same walks.
+walk_length − 1 joins total; every stage is partition-parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# deterministic chooser: pmod(walk_id·A + step·B + C, M) stays far inside
+# int64 for any realistic walk_id (≤ ~9e5 · A)
+_HASH_A = 1000003
+_HASH_B = 7919
+_HASH_C = 12345
+_HASH_M = 2147483647
+
+
+def _chooser(walk_id, step: int):
+    return F.pmod(
+        walk_id * F.lit(_HASH_A) + F.lit(step * _HASH_B + _HASH_C), F.lit(_HASH_M)
+    )
+
+
+def indexed_adjacency(pairs: DataFrame) -> DataFrame:
+    """(src, dst, ordinal, degree) from the once-per-pair edge list
+    (cells.neighbour_cell_pairs): undirected → both directions, neighbor
+    ordinal = rank by dst (deterministic), degree per src. The window
+    partitions by src — partition-parallel at any graph size."""
+    und = pairs.select(
+        F.col("src_cell").alias("src"), F.col("dst_cell").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("dst_cell").alias("src"), F.col("src_cell").alias("dst"))
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    return und.select(
+        "src", "dst",
+        (F.row_number().over(w) - 1).alias("ordinal"),
+        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("degree"),
+    )
+
+
+def node2vec_walks(
+    pairs: DataFrame,
+    start_nodes: DataFrame,
+    walk_length: int = 12,
+    walks_per_node: int = 2,
+    node_col: str = "cell_id",
+) -> DataFrame:
+    """→ (walk_id, pos, cell_id): ``walks_per_node`` uniform walks of
+    ``walk_length`` positions from every start node (p = q = 1, the
+    reference's config). walk_id = node·walks_per_node + w."""
+    adj = indexed_adjacency(pairs).persist()
+    starts = start_nodes.select(F.col(node_col).cast("long").alias("cur"))
+    frontier = starts.select(
+        F.explode(
+            F.sequence(
+                F.col("cur") * walks_per_node,
+                F.col("cur") * walks_per_node + (walks_per_node - 1),
+            )
+        ).alias("walk_id"),
+        "cur",
+    )
+    outputs = [frontier.select("walk_id", F.lit(0).alias("pos"),
+                               F.col("cur").alias(node_col))]
+    for step in range(1, walk_length):
+        nxt = (
+            frontier.join(adj.withColumnRenamed("src", "cur"), "cur")
+            .where(F.col("ordinal") == _chooser(F.col("walk_id"), step) % F.col("degree"))
+            .select("walk_id", F.col("dst").alias("cur"))
+        )
+        frontier = nxt
+        outputs.append(
+            frontier.select("walk_id", F.lit(step).alias("pos"),
+                            F.col("cur").alias(node_col))
+        )
+    out = outputs[0]
+    for part in outputs[1:]:
+        out = out.unionAll(part)
+    return out.select("walk_id", F.col("pos").cast("long").alias("pos"), node_col)
+
+
+def walks_py(pairs_rows, start_nodes, walk_length=12, walks_per_node=2):
+    """Single-process replica of node2vec_walks for oracles/tests: same
+    adjacency ordering (sorted neighbor list) and the same (walk_id, step)
+    hash — pure-python ints."""
+    adj: dict[int, list[int]] = {}
+    for s, d in pairs_rows:
+        adj.setdefault(int(s), []).append(int(d))
+        adj.setdefault(int(d), []).append(int(s))
+    for k in adj:
+        adj[k] = sorted(adj[k])
+    rows = []
+    for node in start_nodes:
+        for w in range(walks_per_node):
+            wid = int(node) * walks_per_node + w
+            cur = int(node)
+            rows.append((wid, 0, cur))
+            for step in range(1, walk_length):
+                nbrs = adj.get(cur, [])
+                if not nbrs:
+                    break
+                h = (wid * _HASH_A + step * _HASH_B + _HASH_C) % _HASH_M
+                cur = nbrs[h % len(nbrs)]
+                rows.append((wid, step, cur))
+    return rows
