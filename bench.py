@@ -96,7 +96,7 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_exact", "token_count", "quality_score", "lang_id",
         "ann_cosine", "segment_cut", "minhash_lsh", "doc_fingerprint",
         "simhash", "symmetrize_norm", "newsimi_raw", "media_real",
-        "embedding_near_dups",
+        "embedding_near_dups", "measure_topk_lcss", "map_match", "cell_walks",
     ]
     qs = E.queries()
     out = {}

@@ -26,34 +26,27 @@ from ..config import GridConfig
 from ..kernels import viterbi as vk
 
 
-def _bounded_idx(v, v_min: float, v_max: float, unit: float, size: int):
-    clamped = F.greatest(F.lit(v_min), F.least(F.lit(v_max), v))
-    idx = F.floor(F.floor(clamped - F.lit(v_min)) / F.lit(unit)).cast("long")
-    return F.least(F.lit(size - 1), F.greatest(F.lit(0), idx))
-
-
 def edge_covering_cells(
     edges: DataFrame, grid: GridConfig, halo_m: float = vk.MAX_DIST_M
 ) -> DataFrame:
-    """(edge_id, cell_id): cells of each edge's MBR grown by the candidate
-    radius — a point within halo_m of the edge always shares a cell."""
-    xlo = F.least("x1", "x2") - F.lit(halo_m)
-    xhi = F.greatest("x1", "x2") + F.lit(halo_m)
-    ylo = F.least("y1", "y2") - F.lit(halo_m)
-    yhi = F.greatest("y1", "y2") + F.lit(halo_m)
+    """(edge_id, cx, cy): COARSE candidate cells (side = halo_m, decoupled
+    from the analytics grid) covering each edge's MBR grown by one cell —
+    a point within halo_m of the edge always lands in one of them, at
+    ~10 cover rows per edge instead of ~80 on the fine grid."""
     d = edges.select(
         "edge_id",
-        _bounded_idx(xlo, grid.x_min, grid.x_max, grid.x_unit, grid.x_size).alias("ix_lo"),
-        _bounded_idx(xhi, grid.x_min, grid.x_max, grid.x_unit, grid.x_size).alias("ix_hi"),
-        _bounded_idx(ylo, grid.y_min, grid.y_max, grid.y_unit, grid.y_size).alias("iy_lo"),
-        _bounded_idx(yhi, grid.y_min, grid.y_max, grid.y_unit, grid.y_size).alias("iy_hi"),
+        # ±2 cells: ±1 covers the halo in real arithmetic; the extra cell
+        # absorbs float rounding at the d ≈ halo_m decision boundary so the
+        # cover is strictly conservative w.r.t. the exact distance filter
+        (F.floor(F.least("x1", "x2") / F.lit(halo_m)) - 2).alias("ix_lo"),
+        (F.floor(F.greatest("x1", "x2") / F.lit(halo_m)) + 2).alias("ix_hi"),
+        (F.floor(F.least("y1", "y2") / F.lit(halo_m)) - 2).alias("iy_lo"),
+        (F.floor(F.greatest("y1", "y2") / F.lit(halo_m)) + 2).alias("iy_hi"),
     )
     d = d.select(
-        "edge_id", F.explode(F.sequence("ix_lo", "ix_hi")).alias("i_x"), "iy_lo", "iy_hi"
-    ).select("edge_id", "i_x", F.explode(F.sequence("iy_lo", "iy_hi")).alias("i_y"))
-    return d.select(
-        "edge_id", (F.col("i_x") * F.lit(grid.y_size) + F.col("i_y")).cast("long").alias("cell_id")
-    )
+        "edge_id", F.explode(F.sequence("ix_lo", "ix_hi")).alias("cx"), "iy_lo", "iy_hi"
+    ).select("edge_id", "cx", F.explode(F.sequence("iy_lo", "iy_hi")).alias("cy"))
+    return d
 
 
 def candidate_edges(
@@ -63,12 +56,17 @@ def candidate_edges(
     max_dist: float = vk.MAX_DIST_M,
 ) -> DataFrame:
     """(traj_id, point_id, ts_ms, x, y, edge_id, dist) for every edge within
-    max_dist of the point. points_cells must carry cell_id (cells.with_cell)."""
+    max_dist of the point, via the coarse-cell equi-join + exact Catalyst
+    point-to-segment distance."""
     cov = edge_covering_cells(edges, grid, max_dist)
     geom = edges.select("edge_id", "x1", "y1", "x2", "y2")
     cand = (
-        points_cells.select("traj_id", "point_id", "ts_ms", "x", "y", "cell_id")
-        .join(F.broadcast(cov), "cell_id")
+        points_cells.select(
+            "traj_id", "point_id", "ts_ms", "x", "y",
+            F.floor(F.col("x") / F.lit(max_dist)).alias("cx"),
+            F.floor(F.col("y") / F.lit(max_dist)).alias("cy"),
+        )
+        .join(F.broadcast(cov), ["cx", "cy"])
         .join(F.broadcast(geom), "edge_id")
     )
     dx = F.col("x2") - F.col("x1")
@@ -105,33 +103,42 @@ def match_trajectories(
     base = points_cells.select("traj_id", "point_id", "ts_ms", "x", "y")
     full = base.join(cand.select("traj_id", "point_id", "edge_id", "dist"),
                      ["traj_id", "point_id"], "left")
+    # per-TRAJECTORY python kernel: respread explicitly — AQE coalesces the
+    # few-MB candidate table onto 1-2 partitions and would serialize the
+    # Viterbi groups (same trap as segment.py's TRACLUS stage)
+    full = full.repartition(
+        full.sparkSession.sparkContext.defaultParallelism, "traj_id"
+    )
 
     topo = edge_nodes  # captured → serialized once per executor
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        # numpy group building (no per-point pandas .loc): rows sorted by
+        # (ts_ms, point_id, edge_id), point boundaries from the sorted ids
         pdf = pdf.sort_values(
             ["ts_ms", "point_id", "edge_id"], kind="mergesort"
         )
+        pid = pdf["point_id"].to_numpy()
+        xs = pdf["x"].to_numpy()
+        ys = pdf["y"].to_numpy()
+        eid = pdf["edge_id"].to_numpy(dtype=np.float64, na_value=np.nan)
+        dist = pdf["dist"].to_numpy(dtype=np.float64, na_value=np.nan)
+        starts = np.flatnonzero(np.r_[True, pid[1:] != pid[:-1]])
+        bounds = np.r_[starts, len(pid)]
         pts, ce, cd = [], [], []
-        grouped = {
-            pid: g for pid, g in pdf.groupby("point_id", sort=False)
-        }
-        order = pdf[["ts_ms", "point_id"]].drop_duplicates().sort_values(
-            ["ts_ms", "point_id"], kind="mergesort"
-        )["point_id"].to_numpy()
-        for pid in order:
-            g = grouped[pid]
-            m = g["edge_id"].notna()
-            pts.append((g["x"].iat[0], g["y"].iat[0]))
-            ce.append(g.loc[m, "edge_id"].to_numpy(dtype=np.int64))
-            cd.append(g.loc[m, "dist"].to_numpy(dtype=np.float64))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            pts.append((xs[s], ys[s]))
+            block = eid[s:e]
+            m = ~np.isnan(block)
+            ce.append(block[m].astype(np.int64))
+            cd.append(dist[s:e][m])
         matched = vk.viterbi_match(
             np.asarray(pts), ce, cd, topo, obs_noise=obs_noise
         )
         return pd.DataFrame(
             {
                 "traj_id": pdf["traj_id"].iat[0],
-                "point_id": order.astype(np.int64),
+                "point_id": pid[starts].astype(np.int64),
                 "edge_id": matched,
             }
         )

@@ -63,7 +63,14 @@ def node2vec_walks(
     """→ (walk_id, pos, cell_id): ``walks_per_node`` uniform walks of
     ``walk_length`` positions from every start node (p = q = 1, the
     reference's config). walk_id = node·walks_per_node + w."""
-    adj = indexed_adjacency(pairs).persist()
+    # the cell graph is metadata-scale (bounded by the grid, not the data):
+    # broadcasting it turns all walk_length−1 joins into map-side hash
+    # joins that pipeline in one linear chain. The path accumulates as an
+    # ARRAY column and explodes once at the end — a per-step union would
+    # re-evaluate each prefix chain (O(L²) joins total).
+    # Precondition: no dead-end nodes (an undirected grid graph has none);
+    # a degree-0 node would drop its walk instead of truncating it.
+    adj = F.broadcast(indexed_adjacency(pairs).persist())
     starts = start_nodes.select(F.col(node_col).cast("long").alias("cur"))
     frontier = starts.select(
         F.explode(
@@ -73,24 +80,20 @@ def node2vec_walks(
             )
         ).alias("walk_id"),
         "cur",
-    )
-    outputs = [frontier.select("walk_id", F.lit(0).alias("pos"),
-                               F.col("cur").alias(node_col))]
+    ).withColumn("path", F.array("cur"))
     for step in range(1, walk_length):
-        nxt = (
+        frontier = (
             frontier.join(adj.withColumnRenamed("src", "cur"), "cur")
             .where(F.col("ordinal") == _chooser(F.col("walk_id"), step) % F.col("degree"))
-            .select("walk_id", F.col("dst").alias("cur"))
+            .select(
+                "walk_id",
+                F.col("dst").alias("cur"),
+                F.concat("path", F.array("dst")).alias("path"),
+            )
         )
-        frontier = nxt
-        outputs.append(
-            frontier.select("walk_id", F.lit(step).alias("pos"),
-                            F.col("cur").alias(node_col))
-        )
-    out = outputs[0]
-    for part in outputs[1:]:
-        out = out.unionAll(part)
-    return out.select("walk_id", F.col("pos").cast("long").alias("pos"), node_col)
+    return frontier.select(
+        "walk_id", F.posexplode("path").alias("pos", node_col)
+    ).select("walk_id", F.col("pos").cast("long").alias("pos"), node_col)
 
 
 def walks_py(pairs_rows, start_nodes, walk_length=12, walks_per_node=2):
