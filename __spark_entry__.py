@@ -1887,10 +1887,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered so queries with no CORRECTNESS row yet (r2 ran only the first
-    # 50) come FIRST — if the driver caps the run, never-yet-covered
-    # queries still land in the record.
+    # Ordered for a possibly-capped driver run (r2 recorded exactly 50 of
+    # 56): queries with no CORRECTNESS row yet come FIRST, headline
+    # operators next, and the tail holds the queries whose operators are
+    # most redundantly covered elsewhere (single scalar functions that
+    # also ride other green rows, and the generic-SQL extras).
     return {
+        # --- no driver row yet (r2 gap + round-3 additions) ---
         "pages_points": q_pages_points,
         "porto_clean": q_porto_clean,
         "porto_points": q_porto_points,
@@ -1901,59 +1904,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "measure_topk_lcss": q_measure_topk_lcss,
         "map_match": q_map_match,
         "cell_walks": q_cell_walks,
-        "points_derive": q_points,
+        # --- red in r2, fixed this round ---
+        "kinematics": q_kinematics,
+        # --- headline operator families ---
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embedding_near_dups": q_embedding_near_dups,
+        "doc_fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ann_cosine": q_ann_cosine,
+        "ann_ivf": q_ann_ivf,
+        "token_count": q_token_count,
+        "quality_score": q_quality,
+        "lang_id": q_lang_id,
+        "pip_join": q_pip_join,
+        "knn": q_knn,
         "cell_assign": q_cell_assign,
         "tile_pyramid": q_tile_pyramid,
         "stay_collapse": q_stay_collapse,
         "sessionize": q_sessionize,
-        "pip_join": q_pip_join,
-        "knn": q_knn,
+        "points_derive": q_points,
         "spatial_features": q_spatial_features,
-        "kinematics": q_kinematics,
-        "bearing": q_bearing,
         "traj_stats": q_traj_stats,
-        "segment_pairs": q_segment_pairs,
-        "cell_mbr": q_cell_mbr,
-        "kring": q_kring,
-        "neighbour_pairs": q_neighbour_pairs,
-        "haversine": q_haversine,
-        "zscore_norm": q_zscore,
         "traj_nested": q_traj_nested,
-        "hit_ratio": q_hit_ratio,
-        "rank_metric": q_rank_metric,
-        "fed_split": q_fed_split,
-        "describe_stats": q_describe,
-        "augment_time_shift": q_augment_time_shift,
-        "symmetrize_norm": q_symmetrize_norm,
-        "pricing_summary": q_pricing_summary,
-        "top_customers": q_top_customers,
-        "events_running": q_events_running,
-        "dedup_exact": q_dedup_exact,
-        "token_count": q_token_count,
-        "quality_score": q_quality,
-        "lang_id": q_lang_id,
-        "ann_cosine": q_ann_cosine,
-        # golden-parquet oracles (kernel queries recomputed WITHOUT Spark in
-        # tools/gen_golden.py — DuckDB derivations + the numpy kernels that
-        # tests/test_kernels.py verifies against reference goldens)
+        "segment_pairs": q_segment_pairs,
         "segment_cut": q_segment_cut,
         "rdp_simplify": q_rdp_simplify,
         "similarity_edwp": q_similarity_edwp,
         "similarity_lcss": q_similarity_lcss,
         "similarity_edr": q_similarity_edr,
         "similarity_frechet": q_similarity_frechet,
-        "embedding_near_dups": q_embedding_near_dups,
         "similarity_hausdorff": q_similarity_hausdorff,
         "measure_topk": q_measure_topk,
         "silhouette": q_silhouette,
+        "cluster_segments": q_cluster_segments,
+        "symmetrize_norm": q_symmetrize_norm,
+        "rank_metric": q_rank_metric,
+        "hit_ratio": q_hit_ratio,
+        "fed_split": q_fed_split,
+        "augment_time_shift": q_augment_time_shift,
         "newsimi_raw": q_newsimi_raw,
         "newsimi_downsample": q_newsimi_downsample,
         "newsimi_distort": q_newsimi_distort,
-        "cluster_segments": q_cluster_segments,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "doc_fingerprint": q_fingerprint,
-        "ann_ivf": q_ann_ivf,
+        # --- redundantly-covered tail (functions riding other green rows,
+        # generic-SQL extras) — the least evidence lost if a cap cuts here
+        "bearing": q_bearing,
+        "haversine": q_haversine,
+        "zscore_norm": q_zscore,
+        "kring": q_kring,
+        "cell_mbr": q_cell_mbr,
+        "neighbour_pairs": q_neighbour_pairs,
+        "describe_stats": q_describe,
+        "events_running": q_events_running,
+        "top_customers": q_top_customers,
+        "pricing_summary": q_pricing_summary,
     }
 
 
