@@ -103,6 +103,19 @@ def test_distributed_matches_local_replica(spark, points):
     assert len(set(vals)) > 3
 
 
+def test_map_match_plan_shape(spark, points):
+    """Candidate generation is a broadcast cell equi-join — no cross join
+    anywhere in the matcher's plan."""
+    _, edge_nodes, _ = roads.road_grid_arrays(G)
+    edges = roads.road_edges(spark)
+    pc = cells.with_cell(points.where(F.col("traj_id") < 3), G)
+    out = map_match.match_trajectories(pc, edges, G, edge_nodes)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_edge_connections_join(spark):
     """Connectivity self-join == the reference's O(n²) definition
     (map_match.py:163-173) on the matched edge set."""

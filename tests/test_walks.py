@@ -33,6 +33,18 @@ def test_walks_match_python_replica(spark, pairs):
     assert len(got) == 4 * 3 * 8
 
 
+def test_walks_plan_shape(spark, pairs):
+    """All walk-step joins are broadcast hash joins (the cell graph is
+    metadata-scale); no cross join, no shuffle join in the chain."""
+    starts = spark.createDataFrame([(42,), (99,)], "cell_id long")
+    out = walks.node2vec_walks(pairs, starts, 6, 2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_walks_follow_edges_and_are_deterministic(spark, pairs):
     starts = spark.createDataFrame([(42,)], "cell_id long")
     a = walks.node2vec_walks(pairs, starts, 6, 2).collect()
