@@ -1706,6 +1706,23 @@ def q_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling: RV01 raw-video payloads (real
+    uncompressed container, library-free decode) → 4 uniformly-spaced
+    frames each → per-frame block-mean features, summed via the exact
+    Catalyst left fold."""
+    from trajlib_spark.operators import multimodal
+
+    media = multimodal.make_media_table(spark, 60, "video", payload_format="rawvid")
+    feats = multimodal.video_frame_features(media, n_samples=4)
+    return feats.select(
+        "media_id", "frame_idx",
+        _RND(
+            F.aggregate("feat", F.lit(0.0), lambda a, v: a + v.cast("double")), 4
+        ).alias("feat_sum_r"),
+    )
+
+
 def q_polygon_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoRelation adjacency of polygons sharing a covering cell — LIVE
     SQL oracle (round 3): DuckDB rebuilds the octagon vertices, bounded
@@ -1904,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "measure_topk_lcss": q_measure_topk_lcss,
         "map_match": q_map_match,
         "cell_walks": q_cell_walks,
+        "video_frames": q_video_frames,
         # --- red in r2, fixed this round ---
         "kinematics": q_kinematics,
         # --- headline operator families ---
@@ -1988,7 +2006,7 @@ _GOLDEN_QUERIES = (
     "silhouette", "cluster_segments", "minhash_lsh", "simhash",
     "newsimi_downsample", "newsimi_distort",
     "doc_fingerprint", "ann_ivf",
-    "media_features", "media_real",
+    "media_features", "media_real", "video_frames",
     "cluster_merge", "measure_topk_lcss", "map_match",
 )
 

@@ -207,6 +207,32 @@ def test_multimodal_real_codecs_roundtrip():
     samples = (rng.normal(size=1000) * 5000).astype(np.int16)
     got, rate = M.decode_wav(M.encode_wav(samples, 8000))
     assert rate == 8000 and np.array_equal(got, samples)
+    frames = rng.integers(0, 256, size=(7, 11, 9), dtype=np.uint8)
+    assert np.array_equal(M.decode_rawvid(M.encode_rawvid(frames)), frames)
+
+
+def test_video_frame_sampling(spark):
+    """RV01 frame-sample: one row per sampled frame with uniformly-spaced
+    deterministic indices, features matching a local decode."""
+    import numpy as np
+    from trajlib_spark.operators import multimodal as M
+
+    media = M.make_media_table(spark, 10, "video", payload_format="rawvid")
+    out = M.video_frame_features(media, n_samples=4, resize_to=4).collect()
+    rows = {(r.media_id, r.frame_idx): r.feat for r in out}
+    local = {r[0]: r for r in (M._media_row(i, "video", "rawvid") for i in range(10))}
+    count = 0
+    for i in range(10):
+        payload = local[i][2]
+        frames = M.decode_rawvid(payload)
+        n = len(frames)
+        for k in range(min(4, n)):
+            fi = (k * n) // 4
+            feat = (M._block_mean(frames[fi].astype(np.float64), 4) / 255.0)
+            got = np.array(rows[(i, fi)], dtype=np.float32)
+            assert np.array_equal(got, feat.ravel().astype(np.float32)), (i, fi)
+            count += 1
+    assert count == len(rows)
 
 
 def test_multimodal_real_decode_features(spark):

@@ -704,6 +704,49 @@ def g_ann_ivf(sf_dir: str, n_list: int = 32, n_probe: int = 8,
     )
 
 
+def g_video_frames(sf_dir: str, n: int = 60, n_samples: int = 4,
+                   resize_to: int = 8) -> pd.DataFrame:
+    """Independent replica of q_video_frames: rebuild each video's frames
+    from the fixture formula, round-trip them through an INDEPENDENT RV01
+    parse (fixed header offsets), sample floor(k·n/n_samples), block-mean
+    + exact left fold."""
+    from trajlib_spark.operators.multimodal import encode_rawvid
+
+    rows = []
+    for i in range(n):
+        w, h = 24 + i % 16, 24 + (i * 3) % 16
+        nf = 4 + i % 6
+        ff, yy, xx = np.meshgrid(np.arange(nf), np.arange(h), np.arange(w),
+                                 indexing="ij")
+        frames = ((i * 131 + ff * 59 + yy * 7 + xx * 13) % 256).astype(np.uint8)
+        payload = encode_rawvid(frames)
+        # independent parse: magic + w/h/n uint32 LE @4/8/12, raster @16
+        assert payload[:4] == b"RV01"
+        pw = int.from_bytes(payload[4:8], "little")
+        ph = int.from_bytes(payload[8:12], "little")
+        pn = int.from_bytes(payload[12:16], "little")
+        dec = np.frombuffer(payload, np.uint8, pn * ph * pw, 16).reshape(pn, ph, pw)
+        assert (dec == frames).all()
+        for k in range(min(n_samples, pn)):
+            fi = (k * pn) // n_samples
+            ys = np.linspace(0, ph, resize_to + 1).astype(int)
+            xs = np.linspace(0, pw, resize_to + 1).astype(int)
+            feat = np.empty((resize_to, resize_to))
+            for a in range(resize_to):
+                for b in range(resize_to):
+                    blk = dec[fi][ys[a]:max(ys[a + 1], ys[a] + 1),
+                                  xs[b]:max(xs[b + 1], xs[b] + 1)].astype(np.float64)
+                    feat[a, b] = blk.mean()
+            f32 = (feat / 255.0).ravel().astype(np.float32)
+            acc = 0.0
+            for v in f32:  # exact left fold, like Catalyst F.aggregate
+                acc = acc + float(v)
+            rows.append((i, fi, (round(acc, 4) + 0e0)))
+    return pd.DataFrame(
+        rows, columns=["media_id", "frame_idx", "feat_sum_r"]
+    ).astype({"media_id": "int64", "frame_idx": "int64"})
+
+
 # --------------------------------------------------------------------------
 # map matching
 # --------------------------------------------------------------------------
@@ -891,6 +934,7 @@ GENERATORS = {
     "ann_ivf": g_ann_ivf,
     "media_features": g_media_features,
     "media_real": g_media_real,
+    "video_frames": g_video_frames,
     "map_match": g_map_match,
 }
 

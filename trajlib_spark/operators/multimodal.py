@@ -50,8 +50,22 @@ def _media_row(i: int, kind: str, payload_format: str) -> tuple:
         samples = (np.sin(t * (0.01 + (i % 10) * 0.003)) * 8000.0).astype(np.int16)
         payload = encode_wav(samples)
         codec = "pcm16"
+    elif payload_format == "rawvid":
+        w, h = 24 + i % 16, 24 + (i * 3) % 16
+        nf = 4 + i % 6
+        ff, yy, xx = np.meshgrid(
+            np.arange(nf), np.arange(h), np.arange(w), indexing="ij"
+        )
+        frames = ((i * 131 + ff * 59 + yy * 7 + xx * 13) % 256).astype(np.uint8)
+        payload = encode_rawvid(frames)
+        codec = "rawvid"
+        return (
+            i, kind, payload,
+            {"width": w, "height": h, "n_frames": nf,
+             "sample_rate": 0, "codec": codec},
+        )
     else:
-        raise ValueError("payload_format must be fake | ppm | bmp | wav")
+        raise ValueError("payload_format must be fake | ppm | bmp | wav | rawvid")
     return (
         i, kind, payload,
         {"width": w, "height": h, "n_frames": 1 + i % 30,
@@ -269,3 +283,54 @@ def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
         "kind",
         F.explode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1)).alias("frame_idx"),
     ).where(F.col("frame_idx") % every_n == 0)
+
+
+# --- raw video (uncompressed frame stack) ------------------------------------
+
+def encode_rawvid(frames: np.ndarray) -> bytes:
+    """(n, h, w) uint8 grayscale frames → RV01 container: magic + w/h/n
+    little-endian uint32 header + concatenated rasters. An uncompressed
+    wire format (YUV-raw style) decodable with no codec library; H.264 &
+    friends remain the documented NotImplementedError plug point."""
+    n, h, w = frames.shape
+    header = b"RV01" + w.to_bytes(4, "little") + h.to_bytes(4, "little") + n.to_bytes(4, "little")
+    return header + frames.astype(np.uint8).tobytes()
+
+
+def decode_rawvid(payload: bytes) -> np.ndarray:
+    """RV01 → (n, h, w) uint8."""
+    if payload[:4] != b"RV01":
+        raise ValueError("not an RV01 raw video")
+    w = int.from_bytes(payload[4:8], "little")
+    h = int.from_bytes(payload[8:12], "little")
+    n = int.from_bytes(payload[12:16], "little")
+    return np.frombuffer(payload, np.uint8, n * h * w, 16).reshape(n, h, w)
+
+
+def video_frame_features(
+    media: DataFrame, n_samples: int = 4, resize_to: int = 8
+) -> DataFrame:
+    """Frame-sample + per-frame features for RV01 video payloads:
+    ``n_samples`` uniformly-spaced frames (idx_k = floor(k·n_frames /
+    n_samples) — deterministic), each reduced to resize_to² block means /
+    255 — one output row per sampled frame, Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_rawvid(bytes(payload))
+                n = len(frames)
+                for k in range(min(n_samples, n)):
+                    fi = (k * n) // n_samples
+                    feat = _block_mean(frames[fi].astype(np.float64), resize_to)
+                    ids.append(mid)
+                    idxs.append(fi)
+                    feats.append((feat / 255.0).ravel().astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "feat": feats}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, frame_idx long, feat array<float>"
+    )
