@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-EVERY ``queries()`` entry has an ``oracle_sql()`` entry — 56/56:
+EVERY ``queries()`` entry has an ``oracle_sql()`` entry — 61/61:
 - SQL-expressible operators get equivalent DuckDB SQL over the same
   parquet views; parity-critical arithmetic lives once in
   trajlib_spark.sources.synth / trajlib_spark.config and is interpolated
