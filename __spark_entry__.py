@@ -1467,6 +1467,21 @@ def q_measure_topk_lcss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_measure_topk_edwp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN by EDwP via the exact grid-pruned metric path (round 3: every
+    DP term is (d₁+d₂)·cov with distances between on-polyline points and
+    Σcov = 1, so EDwP ≥ 2·minDist(sets) — the anchor-ring certificate
+    applies; previously EDwP was the one full-scan measure)."""
+    polys = simi_ops.collect_polylines(_points(spark, sf_dir))
+    qs = polys.where(F.col("traj_id") % 30 == 0)
+    out = simi_ops.measure_topk(polys, qs, "edwp", k=5, grid=G, ring=8)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        _RND("dist", 3).alias("dist_r"),
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the documents table ships as ONE parquet file at test scale → one
     # scan task; fan it out so the Arrow signature/verify stages use every
@@ -1922,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_match": q_map_match,
         "cell_walks": q_cell_walks,
         "video_frames": q_video_frames,
+        "measure_topk_edwp": q_measure_topk_edwp,
         # --- red in r2, fixed this round ---
         "kinematics": q_kinematics,
         # --- headline operator families ---
@@ -2007,7 +2023,7 @@ _GOLDEN_QUERIES = (
     "newsimi_downsample", "newsimi_distort",
     "doc_fingerprint", "ann_ivf",
     "media_features", "media_real", "video_frames",
-    "cluster_merge", "measure_topk_lcss", "map_match",
+    "cluster_merge", "measure_topk_lcss", "measure_topk_edwp", "map_match",
 )
 
 

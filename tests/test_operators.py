@@ -297,7 +297,7 @@ def test_knn_ring_doubling_no_cross_join(spark, points):
         assert got == expect, qid
 
 
-@pytest.mark.parametrize("measure", ["hausdorff", "frechet"])
+@pytest.mark.parametrize("measure", ["hausdorff", "frechet", "edwp"])
 def test_measure_topk_pruned_matches_brute(spark, points, measure):
     """The grid-pruned measure_topk is exact: equals the broadcast
     brute-force path, with no cross join in the plan (VERDICT r1 item 4)."""
@@ -366,7 +366,7 @@ def test_measure_topk_eps_match_filler_tail(spark, measure):
     assert any(r.dist == 1.0 for r in got)
 
 
-@pytest.mark.parametrize("measure", ["hausdorff", "frechet"])
+@pytest.mark.parametrize("measure", ["hausdorff", "frechet", "edwp"])
 def test_measure_topk_pruned_localized_early_exit(spark, measure):
     """Compact trajectories scattered across the grid: the radius bound
     certifies most queries at a SMALL ring (multi-round pruned path, not

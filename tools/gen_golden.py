@@ -367,6 +367,22 @@ def g_measure_topk(sf_dir: str, k: int = 5, every: int = 30) -> pd.DataFrame:
     ).astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
 
 
+def g_measure_topk_edwp(sf_dir: str, k: int = 5, every: int = 30) -> pd.DataFrame:
+    """Brute-force EDwP kNN — the oracle for the grid-pruned metric path
+    (EDwP ≥ 2·minDist(sets), so the anchor-ring certificate is exact)."""
+    pls = polylines(load_points(sf_dir))
+    rows = []
+    for q in sorted(t for t in pls if t % every == 0):
+        scored = sorted(
+            (edwp_distance_vec(pls[q], pls[j]), j) for j in pls if j != q
+        )
+        for r, (d, j) in enumerate(scored[:k], start=1):
+            rows.append((q, j, r, (round(d, 3) + 0e0)))
+    return pd.DataFrame(
+        rows, columns=["query_id", "neighbor_id", "rank", "dist_r"]
+    ).astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
+
+
 def g_measure_topk_lcss(sf_dir: str, k: int = 5, every: int = 30) -> pd.DataFrame:
     """Brute-force normalized-LCSS kNN — the oracle for the ε-match
     cell-blocked path (non-candidates score exactly 1.0)."""
@@ -923,6 +939,7 @@ GENERATORS = {
     "similarity_hausdorff": g_similarity_hausdorff,
     "measure_topk": g_measure_topk,
     "measure_topk_lcss": g_measure_topk_lcss,
+    "measure_topk_edwp": g_measure_topk_edwp,
     "cluster_segments": g_cluster_segments,
     "cluster_merge": g_cluster_merge,
     "silhouette": g_silhouette,

@@ -206,7 +206,13 @@ def _traj_anchor(polys: DataFrame, id_alias: str, grid, id_col: str = "traj_id")
 # Measures bounded below by the set-to-set minimum distance, which the
 # anchor/radius ring bound prunes exactly: for any pair outside ring R,
 # measure ≥ minDist(sets) ≥ d(anchors) − r_q − r_d > R·min_unit − r_q − r_d.
-_METRIC_MEASURES = frozenset({"frechet", "hausdorff"})
+# EDwP qualifies too (round 3): every DP term is (d₁ + d₂)·cov where both
+# distances connect points ON the two polylines (vertices or clamped
+# projections — within the vertex radius by convexity of distance-to-
+# anchor along a segment) and the coverages of a complete alignment tile
+# both trajectories (Σcov = 1), so EDwP ≥ 2·minDist(sets) ≥ minDist(sets)
+# (empirically the 2× factor is tight over random pairs).
+_METRIC_MEASURES = frozenset({"frechet", "hausdorff", "edwp"})
 
 # Measures whose per-point match predicate is Chebyshev-ε (|dx|<ε ∧ |dy|<ε,
 # dp_distances._match_matrix): a pair with NO matching point pair scores
@@ -379,8 +385,9 @@ def measure_topk(
     non-candidates provably score 1.0, see _lcss_edr_topk (``brute=True``
     forces the broadcast-scan fallback, kept for parity testing).
 
-    Otherwise (EDwP, which admits neither bound): broadcast query × db
-    pair table — correct, bounded by the query count."""
+    Every supported measure therefore has a bounded exact path; the
+    broadcast query × db fallback remains only for ``grid=None`` or
+    ``brute=True`` (parity testing)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
