@@ -31,18 +31,7 @@ import pandas as pd
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-from trajlib_spark.config import (  # noqa: E402
-    DEG2RAD,
-    MAX_LAT,
-    MAX_LON,
-    MAX_TRAJ_LEN,
-    MIN_LAT,
-    MIN_LON,
-    MIN_TRAJ_LEN,
-    PORTO_GRID,
-    LAT_HASH_MULT,
-    LON_HASH_MULT,
-)
+from trajlib_spark.config import PORTO_GRID  # noqa: E402
 from trajlib_spark.kernels.clustering import (  # noqa: E402
     dbscan_precomputed,
     segment_distance_matrix,
