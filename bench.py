@@ -303,10 +303,18 @@ def main() -> None:
         },
     }
     result["scaling"]["pair_efficiencies"] = [round(e, 3) for e in pair_eff]
+    # checkpoint the result BEFORE the (long) sf1 pilot: if an external
+    # timeout kills the process mid-pilot, the scaling + per-query
+    # evidence survives on disk even though stdout never got the line
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/last_run.json", "w") as f:
+        json.dump(result, f)
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         log("sf1 pilot: 20M-page flagship + 50k-doc minhash + 10x measure_topk")
         result["sf1"] = sf1_pilot(sf_dir, cpus)
         log(f"sf1: {result['sf1']}")
+        with open("BENCH/last_run.json", "w") as f:
+            json.dump(result, f)
     # always persist the evidence document (--scaling kept as a no-op flag)
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
