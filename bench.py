@@ -119,6 +119,37 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def flagship_stage_times(spark, sf_dir: str, pages_path: str) -> dict[str, float]:
+    """Per-stage attribution of the flagship (VERDICT r3 item 6): each
+    PREFIX of the pipeline (scan+mine, +cells, +PIP, +tiles) gets its own
+    noop-sunk timing (min of 2 passes), so a headline regression can be
+    pinned to the stage whose delta moved — or written off as VM noise
+    when every stage's delta is flat."""
+    pg = spark.read.parquet(pages_path)
+    pts_raw = extract.pages_to_points(pg)
+    pts = cells.with_cell(pts_raw, G)
+    polys = synth.synthetic_polygons(spark, sf_dir)
+    stages = {
+        "scan_mine": pts_raw,
+        "cells": pts,
+        "pip": spatial_join.point_in_polygon(
+            pts, polys, G, point_cols=["url", "pos", "cell_id"]
+        ),
+        "tiles": raster.tile_counts(pts, G),
+    }
+    out = {}
+    for name, df in stages.items():
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+        log(f"  stage {name}: {out[name]}s")
+    return out
+
+
 def _jvm_peak_rss_gb() -> float:
     """Peak RSS (VmHWM) of the largest java process — the local-mode
     executor JVM — via /proc (no psutil in the container)."""
@@ -139,8 +170,23 @@ def _jvm_peak_rss_gb() -> float:
 
 
 def _plan_skew_count(df) -> int:
-    """Number of AQE skew-split joins in the executed plan."""
+    """Number of AQE skew-split joins in the executed plan. Only meaningful
+    AFTER the DataFrame's OWN QueryExecution ran (e.g. via _run_and_count
+    below) — a `.write` runs a separate QueryExecution whose adaptive plan
+    this accessor never sees (ADVICE r3: that path reads the unexecuted
+    plan and always reports 0)."""
     return df._jdf.queryExecution().executedPlan().toString().count("skew=true")
+
+
+def _run_and_count(df) -> int:
+    """Execute the DataFrame through its own QueryExecution (toLocalIterator
+    — streams, never materializes the result on the driver) so the
+    AQE-final plan with its skew-split markers is inspectable on `df`
+    afterwards; returns the row count."""
+    n = 0
+    for _ in df.toLocalIterator():
+        n += 1
+    return n
 
 
 def sf1_pilot(sf_dir: str, cpus: int) -> dict:
@@ -175,7 +221,7 @@ def sf1_pilot(sf_dir: str, cpus: int) -> dict:
         sigs = dedup.minhash_signatures(salted)
         cands = dedup.lsh_candidates(sigs)
         verified = dedup.ngram_jaccard_verify(salted, cands, threshold=0.5)
-        verified.write.format("noop").mode("overwrite").save()
+        out["minhash_pairs"] = _run_and_count(verified)
         out["minhash_docs"] = 50_000
         out["minhash_sec"] = round(time.time() - t0, 2)
         out["minhash_skew_splits"] = _plan_skew_count(verified)
@@ -203,6 +249,38 @@ def sf1_pilot(sf_dir: str, cpus: int) -> dict:
         topk.write.format("noop").mode("overwrite").save()
         out["measure_topk_trajs"] = int(n_traj)
         out["measure_topk_sec"] = round(time.time() - t0, 2)
+        polys.unpersist()
+        spark.catalog.clearCache()
+
+        # 4) map matching over the same 10×-density points (VERDICT r3
+        # item 3: the slowest query's Viterbi group sizes and candidate-
+        # join skew were unmeasured beyond sf0.1). Runs through the
+        # DataFrame's own QueryExecution so the skew count is real.
+        from trajlib_spark.operators import map_match as mm_ops
+        from trajlib_spark.sources import roads
+
+        _, edge_nodes, _ = roads.road_grid_arrays(G)
+        edges = roads.road_edges(spark, G)
+        pc = cells.with_cell(rep, G)
+        t0 = time.time()
+        matched = mm_ops.match_trajectories(pc, edges, G, edge_nodes)
+        out["map_match_points"] = _run_and_count(matched)
+        out["map_match_sec"] = round(time.time() - t0, 2)
+        out["map_match_skew_splits"] = _plan_skew_count(matched)
+        spark.catalog.clearCache()
+
+        # 5) walk generation started from every cell the 10×-density points
+        # touch (the walk-frontier joins are the other skew-potential spot)
+        from trajlib_spark.operators import walks as walk_ops
+
+        pairs = cells.neighbour_cell_pairs(spark, G)
+        starts = pc.select("cell_id").distinct()
+        t0 = time.time()
+        walks = walk_ops.node2vec_walks(pairs, starts, walk_length=12,
+                                        walks_per_node=2)
+        out["cell_walks_rows"] = _run_and_count(walks)
+        out["cell_walks_sec"] = round(time.time() - t0, 2)
+        out["cell_walks_skew_splits"] = _plan_skew_count(walks)
         out["peak_jvm_rss_gb"] = _jvm_peak_rss_gb()
     except Exception as ex:  # noqa: BLE001 — pilot must never sink the bench
         out["error"] = f"{type(ex).__name__}: {ex}"
@@ -280,6 +358,7 @@ def main() -> None:
     spark = get_spark(app_name="bench-queries", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     queries = timed_queries(spark, sf_dir)
+    stages = flagship_stage_times(spark, sf_dir, prepare_pages(spark, n_pages))
     stop_spark(spark)
 
     result = {
@@ -287,6 +366,7 @@ def main() -> None:
         "value": round(thrfull, 1),
         "unit": "sec",
         "queries": queries,
+        "flagship_stages": stages,
         "sf": sf_dir.rstrip("/").rsplit("/", 1)[-1],
         "pages": n_pages,
         "scaling": {
@@ -345,7 +425,11 @@ def main() -> None:
                 f"level minima: local[3]={[round(t,2) for t in t_small]}, "
                 f"local[12]={[round(t,2) for t in t_big]}, "
                 f"local[{cpus}]={[round(t,2) for t in t_full]}\n\n"
-                "Per-query timings (noop sink, seconds):\n\n"
+                "Flagship per-stage prefix timings (noop sink, seconds; each "
+                "row includes everything above it — scan+mine ⊂ cells ⊂ "
+                "pip/tiles):\n\n"
+                + "\n".join(f"- {k}: {v}" for k, v in stages.items())
+                + "\n\nPer-query timings (noop sink, seconds):\n\n"
                 + "\n".join(f"- {k}: {v}" for k, v in queries.items())
                 + "\n"
                 + (

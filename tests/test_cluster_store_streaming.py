@@ -226,13 +226,40 @@ def test_video_frame_sampling(spark):
         payload = local[i][2]
         frames = M.decode_rawvid(payload)
         n = len(frames)
-        for k in range(min(4, n)):
-            fi = (k * n) // 4
+        m = min(4, n)
+        for k in range(m):
+            fi = (k * n) // m
             feat = (M._block_mean(frames[fi].astype(np.float64), 4) / 255.0)
             got = np.array(rows[(i, fi)], dtype=np.float32)
             assert np.array_equal(got, feat.ravel().astype(np.float32)), (i, fi)
             count += 1
     assert count == len(rows)
+
+
+def test_video_frame_sampling_short_clip(spark):
+    """A clip SHORTER than n_samples yields one row per frame with
+    distinct, whole-clip-spanning indices (ADVICE r3: the old
+    //n_samples divisor emitted frame 0 twice and never the tail)."""
+    import numpy as np
+    import pandas as pd
+    from trajlib_spark.operators import multimodal as M
+
+    frames = np.arange(2 * 6 * 6, dtype=np.uint8).reshape(2, 6, 6)
+    payload = M.encode_rawvid(frames)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [7], "payload": [payload]})
+    )
+    out = sorted(
+        M.video_frame_features(media, n_samples=4, resize_to=2).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in out] == [0, 1]
+    for r, fi in zip(out, (0, 1)):
+        want = (M._block_mean(frames[fi].astype(np.float64), 2) / 255.0)
+        assert np.array_equal(
+            np.array(r.feat, dtype=np.float32),
+            want.ravel().astype(np.float32),
+        )
 
 
 def test_multimodal_real_decode_features(spark):

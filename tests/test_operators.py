@@ -366,6 +366,21 @@ def test_measure_topk_eps_match_filler_tail(spark, measure):
     assert any(r.dist == 1.0 for r in got)
 
 
+@pytest.mark.parametrize("measure", ["lcss", "hausdorff"])
+def test_measure_topk_empty_inputs(spark, measure):
+    """Empty db or empty query side returns an empty result instead of
+    crashing on the NULL max-radius aggregate (ADVICE r3)."""
+    schema = "traj_id long, xs array<double>, ys array<double>"
+    empty = spark.createDataFrame([], schema)
+    some = spark.createDataFrame(
+        [(1, [0.0, 1.0], [0.0, 1.0]), (2, [5.0, 6.0], [5.0, 6.0])], schema
+    )
+    for db, qs in ((empty, some), (some, empty), (empty, empty)):
+        out = similarity.measure_topk(db, qs, measure, k=3, grid=G)
+        assert out.count() == 0
+        assert out.columns == ["query_id", "neighbor_id", "dist", "rank"]
+
+
 @pytest.mark.parametrize("measure", ["hausdorff", "frechet", "edwp"])
 def test_measure_topk_pruned_localized_early_exit(spark, measure):
     """Compact trajectories scattered across the grid: the radius bound

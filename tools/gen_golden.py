@@ -713,8 +713,10 @@ def g_video_frames(sf_dir: str, n: int = 60, n_samples: int = 4,
                    resize_to: int = 8) -> pd.DataFrame:
     """Independent replica of q_video_frames: rebuild each video's frames
     from the fixture formula, round-trip them through an INDEPENDENT RV01
-    parse (fixed header offsets), sample floor(k·n/n_samples), block-mean
-    + exact left fold."""
+    parse (fixed header offsets), sample floor(k·n/m) for m =
+    min(n_samples, n) (divisor m, not n_samples: short clips get distinct
+    whole-clip-spanning indices — ADVICE r3), block-mean + exact left
+    fold."""
     from trajlib_spark.operators.multimodal import encode_rawvid
 
     rows = []
@@ -732,8 +734,9 @@ def g_video_frames(sf_dir: str, n: int = 60, n_samples: int = 4,
         pn = int.from_bytes(payload[12:16], "little")
         dec = np.frombuffer(payload, np.uint8, pn * ph * pw, 16).reshape(pn, ph, pw)
         assert (dec == frames).all()
-        for k in range(min(n_samples, pn)):
-            fi = (k * pn) // n_samples
+        m = min(n_samples, pn)
+        for k in range(m):
+            fi = (k * pn) // m
             ys = np.linspace(0, ph, resize_to + 1).astype(int)
             xs = np.linspace(0, pw, resize_to + 1).astype(int)
             feat = np.empty((resize_to, resize_to))

@@ -121,8 +121,12 @@ def brute_force_match(
     obs_noise: float = OBS_NOISE_M,
 ) -> np.ndarray:
     """Exponential-time reference: enumerate every state sequence per
-    no-candidate-separated segment and take the max (ties toward the
-    lexicographically smallest index sequence). Test oracle only."""
+    no-candidate-separated segment and take the max. Exact score ties
+    resolve toward the COLEX-smallest index sequence (compare from the
+    LAST position backward) — the order the DP's tie-breaks induce: the
+    final argmax fixes the lowest last index first, then each backpointer
+    fixes the lowest previous index given the chosen suffix. Test oracle
+    only."""
     from itertools import product
 
     n = len(pts_xy)
@@ -133,7 +137,7 @@ def brute_force_match(
     def flush():
         if not seg:
             return
-        best_score, best_path = -np.inf, None
+        best_score, best_path, best_key = -np.inf, None, None
         for path in product(*[range(len(cand_edges[p])) for p in seg]):
             s = 0.0
             for k, p in enumerate(seg):
@@ -148,8 +152,9 @@ def brute_force_match(
                         s += LOG_CONNECTED
                     else:
                         s += LOG_JUMP
-            if s > best_score:
-                best_score, best_path = s, path
+            key = tuple(reversed(path))
+            if s > best_score or (s == best_score and key < best_key):
+                best_score, best_path, best_key = s, path, key
         for k, p in enumerate(seg):
             out[p] = cand_edges[p][best_path[k]]
 

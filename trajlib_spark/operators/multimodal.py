@@ -311,9 +311,12 @@ def video_frame_features(
     media: DataFrame, n_samples: int = 4, resize_to: int = 8
 ) -> DataFrame:
     """Frame-sample + per-frame features for RV01 video payloads:
-    ``n_samples`` uniformly-spaced frames (idx_k = floor(k·n_frames /
-    n_samples) — deterministic), each reduced to resize_to² block means /
-    255 — one output row per sampled frame, Arrow-batched."""
+    m = min(n_samples, n_frames) uniformly-spaced frames (idx_k =
+    floor(k·n_frames / m) — deterministic, distinct, and spanning the whole
+    clip even when the video is shorter than n_samples; ADVICE r3: dividing
+    by n_samples instead of m yielded duplicate early frames on short
+    clips), each reduced to resize_to² block means / 255 — one output row
+    per sampled frame, Arrow-batched."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -321,8 +324,9 @@ def video_frame_features(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 frames = decode_rawvid(bytes(payload))
                 n = len(frames)
-                for k in range(min(n_samples, n)):
-                    fi = (k * n) // n_samples
+                m = min(n_samples, n)
+                for k in range(m):
+                    fi = (k * n) // m
                     feat = _block_mean(frames[fi].astype(np.float64), resize_to)
                     ids.append(mid)
                     idxs.append(fi)

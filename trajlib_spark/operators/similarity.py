@@ -176,13 +176,19 @@ def _score_pairs(
     )
 
 
-def _traj_anchor(polys: DataFrame, id_alias: str, grid, id_col: str = "traj_id") -> DataFrame:
-    """(id, xs, ys, anchor cell indices, radius): anchor = MBR center,
+def _traj_anchor(
+    polys: DataFrame, id_alias: str, grid=None, id_col: str = "traj_id"
+) -> DataFrame:
+    """(id, xs, ys, _ax, _ay, radius[, a_ix, a_iy]): anchor = MBR center,
     radius = max point distance to the anchor — all Catalyst array
-    arithmetic, one pass over the nested polyline."""
+    arithmetic, one pass over the nested polyline. With ``grid`` the
+    anchor's cell indices are attached too (the metric-measure ring path);
+    without it the raw anchor coordinates serve the ε-match δ-cell path."""
     ax = (F.array_min("xs") + F.array_max("xs")) / 2
     ay = (F.array_min("ys") + F.array_max("ys")) / 2
-    d = polys.withColumns({"_ax": ax, "_ay": ay})
+    d = polys.select(F.col(id_col).alias(id_alias), "xs", "ys").withColumns(
+        {"_ax": ax, "_ay": ay}
+    )
     radius = F.sqrt(
         F.array_max(
             F.zip_with(
@@ -192,15 +198,15 @@ def _traj_anchor(polys: DataFrame, id_alias: str, grid, id_col: str = "traj_id")
             )
         )
     )
+    d = d.withColumn("radius", radius)
+    if grid is None:
+        return d
     from . import cells as cell_ops
 
-    return d.select(
-        F.col(id_col).alias(id_alias),
-        "xs", "ys",
-        cell_ops.x_idx(F.col("_ax"), F.col("_ay"), grid).alias("a_ix"),
-        cell_ops.y_idx(F.col("_ax"), F.col("_ay"), grid).alias("a_iy"),
-        radius.alias("radius"),
-    )
+    return d.withColumns({
+        "a_ix": cell_ops.x_idx(F.col("_ax"), F.col("_ay"), grid),
+        "a_iy": cell_ops.y_idx(F.col("_ax"), F.col("_ay"), grid),
+    })
 
 
 # Measures bounded below by the set-to-set minimum distance, which the
@@ -239,30 +245,25 @@ def _lcss_edr_topk(
     in one δ-cell each, query anchors fan a Chebyshev ring sized to cover
     ε√2 + r_q + max(r_db); candidate pairs come from the cell equi-join.
     Non-candidates provably score exactly 1.0, so the top-k tail is filled
-    from the smallest non-candidate neighbor ids (prefix-doubled until
-    every query that lacks k strict-sub-1.0 candidates has k fillers) —
-    never a crossJoin node, never the full corpus per query."""
+    from the smallest non-candidate neighbor ids via a rank-bounded join
+    against the globally ranked db-id table — fully distributed (no
+    driver-side id collect, no literal-array plan node; ADVICE r3), never
+    a crossJoin node, never the full corpus per query."""
+    from pyspark.sql import Window
+
     sqrt2 = 2.0 ** 0.5
-
-    def anchored(df: DataFrame, alias: str) -> DataFrame:
-        ax = (F.array_min("xs") + F.array_max("xs")) / 2
-        ay = (F.array_min("ys") + F.array_max("ys")) / 2
-        d = df.select(F.col(id_col).alias(alias), "xs", "ys").withColumns(
-            {"_ax": ax, "_ay": ay}
+    db_a = _traj_anchor(db_polys, "j", id_col=id_col).persist()
+    q_a = _traj_anchor(query_polys, "i", id_col=id_col).persist()
+    if db_a.isEmpty() or q_a.isEmpty():
+        # empty side → empty result (the max-radius aggregates below would
+        # return NULL and crash; ADVICE r3)
+        id_type = dict(db_polys.dtypes)[id_col]
+        empty = db_polys.sparkSession.createDataFrame(
+            [], f"query_id {id_type}, neighbor_id {id_type}, dist double"
         )
-        rad = F.sqrt(
-            F.array_max(
-                F.zip_with(
-                    "xs", "ys",
-                    lambda px, py: (px - F.col("_ax")) * (px - F.col("_ax"))
-                    + (py - F.col("_ay")) * (py - F.col("_ay")),
-                )
-            )
-        )
-        return d.withColumn("radius", rad)
-
-    db_a = anchored(db_polys, "j").persist()
-    q_a = anchored(query_polys, "i").persist()
+        db_a.unpersist()
+        q_a.unpersist()
+        return topk(empty)
     r_dmax = float(db_a.agg(F.max("radius")).collect()[0][0])
     r_qmax = float(q_a.agg(F.max("radius")).collect()[0][0])
     match_r = eps * sqrt2
@@ -316,44 +317,58 @@ def _lcss_edr_topk(
     )
     fillers = None
     if not needy.isEmpty():
-        spark = db_polys.sparkSession
-        n_db = db_a.count()
-        p = k + 16
-        while True:
-            prefix = [r.j for r in db_a.select("j").orderBy("j").limit(p).collect()]
-            fill = (
-                needy.withColumn(
-                    "neighbor_id", F.explode(F.array(*[F.lit(v) for v in prefix]))
-                )
-                .where(F.col("query_id") != F.col("neighbor_id"))
-                .join(
-                    cand.select(
-                        F.col("i").alias("query_id"), F.col("j").alias("neighbor_id")
-                    ),
-                    ["query_id", "neighbor_id"],
-                    "left_anti",
-                )
-                .persist()
+        from .segment import global_row_number
+
+        # per needy query the only db ids EXCLUDED from filling are its
+        # candidates (already scored) and itself: among the k + n_excl
+        # smallest db ids at most n_excl are excluded, so the k smallest
+        # non-excluded ids — exactly the ones that can enter a 1.0-tied
+        # top-k under the (dist, neighbor_id) order — are guaranteed inside
+        # that prefix. One rank-bounded join, no driver-side id collect.
+        n_excl = (
+            needy.join(
+                cand.select(F.col("i").alias("query_id"), "j"), "query_id", "left"
             )
-            if p >= n_db:
-                break
-            short = (
-                needy.join(
-                    fill.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nf")),
-                    "query_id", "left",
-                )
-                .where(F.coalesce(F.col("_nf"), F.lit(0)) < k)
+            .groupBy("query_id")
+            .agg((F.count("j") + F.lit(1)).alias("_ne"))
+        )
+        db_rank, _n_db = global_row_number(db_a.select("j"), ("j",))
+        # rank-bounded EQUI join (explode each needy query's rank range
+        # 0..n_excl+k−1 and hash-join on the rank — a nested-loop-free
+        # plan); per-query fan = its own candidate count + k, the same
+        # volume the candidate join already carried. The broadcast side is
+        # the rank prefix 0..max(n_excl)+k−1, NOT the whole ranked corpus
+        # (one scalar agg bounds it).
+        p_max = k + int(n_excl.agg(F.max("_ne")).collect()[0][0])
+        prefix = db_rank.where(F.col("_rn0") < F.lit(p_max))
+        fill_keys = n_excl.withColumn(
+            "_rn0",
+            F.explode(F.sequence(F.lit(0), F.col("_ne") + F.lit(k - 1))),
+        )
+        wf = Window.partitionBy("query_id").orderBy("j")
+        fillers = (
+            fill_keys.join(F.broadcast(prefix), "_rn0")
+            .where(F.col("query_id") != F.col("j"))
+            .join(
+                cand.select(F.col("i").alias("query_id"), "j"),
+                ["query_id", "j"],
+                "left_anti",
             )
-            if short.isEmpty():
-                break
-            fill.unpersist()
-            p = min(4 * p, n_db)
-        fillers = fill.withColumn("dist", F.lit(1.0))
+            .withColumn("_fr", F.row_number().over(wf))
+            .where(F.col("_fr") <= k)
+            .select("query_id", F.col("j").alias("neighbor_id"), F.lit(1.0).alias("dist"))
+        )
 
     out = scored
     if fillers is not None:
         out = scored.unionByName(fillers)
     result = topk(out)
+    # scored stays cached (it holds the expensive kernel output the final
+    # plan reads once); the cheap intermediates release their blocks now —
+    # their lineage re-derives from the cached scored table if the filler
+    # branch of the final plan needs them again (ADVICE r3 leak list)
+    for df in (db_a, q_a, cand, needy):
+        df.unpersist()
     return result
 
 
@@ -414,6 +429,14 @@ def measure_topk(
     db_anchored = _traj_anchor(
         db_polys.select(id_col, "xs", "ys"), "j", grid, id_col=id_col
     ).persist()
+    if db_anchored.isEmpty() or query_polys.isEmpty():
+        # same empty-input guard as the ε-match path: the radius aggregates
+        # below would return NULL and crash on float(None)
+        id_type = dict(db_polys.dtypes)[id_col]
+        db_anchored.unpersist()
+        return topk(db_polys.sparkSession.createDataFrame(
+            [], f"query_id {id_type}, neighbor_id {id_type}, dist double"
+        ))
     db_cells = db_anchored.select(
         "j", cell_id_expr("a_ix", "a_iy", grid).alias("cell_id")
     )
