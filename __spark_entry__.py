@@ -411,43 +411,11 @@ FROM agg
 def q_segment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combined segment distance d1 + d2 (endpoint + angular,
     clustering.py:57-83) over whole-trajectory chords, blocked by
-    fed_id = traj_id % 5 (federation semantics)."""
-    stats = feat_ops.traj_stats(_points(spark, sf_dir))
-    pts = _points(spark, sf_dir)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("traj_id").orderBy("ts_ms", "point_id")
-    ends = (
-        pts.withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("traj_id")))
-        .where((F.col("rn") == 1) | (F.col("rn") == F.col("n")))
-        .groupBy("traj_id")
-        .agg(
-            F.min_by(F.struct("x", "y"), "rn").alias("s"),
-            F.max_by(F.struct("x", "y"), "rn").alias("e"),
-        )
-        .select(
-            "traj_id",
-            (F.col("traj_id") % 5).alias("fed_id"),
-            F.col("s.x").alias("sx"), F.col("s.y").alias("sy"),
-            F.col("e.x").alias("ex"), F.col("e.y").alias("ey"),
-        )
-    )
-    a = ends.alias("a")
-    b = ends.alias("b")
-    j = a.join(b, (F.col("a.fed_id") == F.col("b.fed_id"))
-               & (F.col("a.traj_id") < F.col("b.traj_id")))
-    d1 = (
-        F.sqrt((F.col("b.sx") - F.col("a.sx")) ** 2 + (F.col("b.sy") - F.col("a.sy")) ** 2)
-        + F.sqrt((F.col("b.ex") - F.col("a.ex")) ** 2 + (F.col("b.ey") - F.col("a.ey")) ** 2)
-    )
-    ang_a = F.atan2(F.col("a.ey") - F.col("a.sy"), F.col("a.ex") - F.col("a.sx"))
-    ang_b = F.atan2(F.col("b.ey") - F.col("b.sy"), F.col("b.ex") - F.col("b.sx"))
-    diff = F.abs(ang_a - ang_b)
-    diff = F.when(diff > F.lit(3.141592653589793), F.lit(6.283185307179586) - diff).otherwise(diff)
-    len_a = F.sqrt((F.col("a.ex") - F.col("a.sx")) ** 2 + (F.col("a.ey") - F.col("a.sy")) ** 2)
-    len_b = F.sqrt((F.col("b.ex") - F.col("b.sx")) ** 2 + (F.col("b.ey") - F.col("b.sy")) ** 2)
-    d2 = F.abs(F.sin(diff)) * F.greatest(len_a, len_b)
+    fed_id = traj_id % 5 (federation semantics). The pair table and
+    distance expressions come from _segment_pair_d (shared with
+    q_symmetrize_norm — VERDICT r3 cleanup: the block was duplicated
+    verbatim here)."""
+    j, d1, d2 = _segment_pair_d(spark, sf_dir)
     return j.select(
         F.col("a.traj_id").alias("i"),
         F.col("b.traj_id").alias("j"),
@@ -708,6 +676,31 @@ f0 AS (
 
 
 SQL_CELL_WALKS = _sql_cell_walks()
+
+
+def q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair counts from the node2vec walks —
+    the reference's context_size-10 sampling (node2vec_.py:19-29) as a
+    walk_id self-join, aggregated to the (center_cell, context_cell)
+    co-occurrence table the embedding SGD would consume (the torch half
+    stays the documented non-goal, SURVEY §7.3)."""
+    from trajlib_spark.operators import walks as walks_ops
+
+    walks = q_cell_walks(spark, sf_dir)
+    pairs = walks_ops.skipgram_pairs(walks, window=10)
+    return pairs.groupBy(
+        F.col("center").alias("center_cell"), F.col("context").alias("context_cell")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+SQL_WALK_SKIPGRAMS = f"""
+WITH walks AS ({SQL_CELL_WALKS})
+SELECT a.cell_id AS center_cell, b.cell_id AS context_cell,
+       count(*) AS n_pairs
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 10
+GROUP BY 1, 2
+"""
 
 
 def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1507,6 +1500,70 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_simhash(max_hamming: int = 4) -> str:
+    """LIVE DuckDB replica of q_simhash (VERDICT r3 item 8 — one fewer
+    committed-parquet oracle): FNV-1a over every 5-byte shingle window in
+    HUGEINT arithmetic (h·prime wraps mod 2⁶⁴ explicitly; the corpus is
+    pure ASCII so ascii(substr(…)) IS the byte), per-bit majority vote →
+    64-bit signature, pigeonhole banding (n_bands = hamming+1 = 5 × 12
+    bits, same as the engine), bit_count(xor) verify."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    m64 = "18446744073709551616::HUGEINT"
+    p = "1099511628211::HUGEINT"
+    return f"""
+WITH d AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+dp AS (
+  SELECT doc_id,
+         CASE WHEN length(t) < 5 THEN t || repeat(' ', 5 - length(t)) ELSE t END AS t
+  FROM d
+),
+win AS (SELECT doc_id, t, unnest(range(length(t) - 4)) AS off FROM dp),
+s0 AS (
+  SELECT doc_id,
+    ascii(substr(t, (off + 1)::INTEGER, 1))::HUGEINT AS b0,
+    ascii(substr(t, (off + 2)::INTEGER, 1))::HUGEINT AS b1,
+    ascii(substr(t, (off + 3)::INTEGER, 1))::HUGEINT AS b2,
+    ascii(substr(t, (off + 4)::INTEGER, 1))::HUGEINT AS b3,
+    ascii(substr(t, (off + 5)::INTEGER, 1))::HUGEINT AS b4
+  FROM win
+),
+s1 AS (SELECT doc_id, b1, b2, b3, b4,
+              (xor(1469598103934665603::HUGEINT, b0) * {p}) % {m64} AS h FROM s0),
+s2 AS (SELECT doc_id, b2, b3, b4, (xor(h, b1) * {p}) % {m64} AS h FROM s1),
+s3 AS (SELECT doc_id, b3, b4, (xor(h, b2) * {p}) % {m64} AS h FROM s2),
+s4 AS (SELECT doc_id, b4, (xor(h, b3) * {p}) % {m64} AS h FROM s3),
+s5 AS (SELECT DISTINCT doc_id, (xor(h, b4) * {p}) % {m64} AS h FROM s4),
+bits AS (
+  SELECT doc_id, b.bit, CASE WHEN ((h >> b.bit::INTEGER) & 1) = 1 THEN 1 ELSE -1 END AS v
+  FROM s5, (SELECT unnest(range(64)) AS bit) b
+),
+acc AS (SELECT doc_id, bit, sum(v) AS a FROM bits GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN a > 0 THEN (1::HUGEINT << bit::INTEGER) ELSE 0::HUGEINT END) AS u
+  FROM acc GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, b.bi AS band_idx, ((u >> ({width} * b.bi)::INTEGER) & {mask}) AS band_val
+  FROM sig, (SELECT unnest(range({n_bands})) AS bi) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       CAST(bit_count(xor(si.u, sj.u)) AS BIGINT) AS hamming
+FROM cand JOIN sig si ON si.doc_id = cand.i JOIN sig sj ON sj.doc_id = cand.j
+WHERE bit_count(xor(si.u, sj.u)) <= {max_hamming}
+"""
+
+
+SQL_SIMHASH = _sql_simhash()
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
@@ -1518,6 +1575,46 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ann_ops.ivf_topk(embs, queries, k=10, centroids=centroids, n_probe=8)
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+ANN_RECALL_CLUSTERS = 25
+ANN_RECALL_NPROBE = 4
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall against the exact brute force on a CLUSTERED fixture
+    (VERDICT r3 item 7: the green ann_ivf row certifies determinism/shape;
+    this row certifies RECALL at a realistic n_probe on data with real
+    cluster structure — random-uniform vectors are the documented
+    worst case, COVERAGE.md). The fixture derives deterministically from
+    the embeddings table: member v = center(v mod 25) + 0.05·own — 25
+    tight clusters the trained inverted lists should recover."""
+    embs = _embs(spark, sf_dir)
+    centers = embs.where(F.col("vec_id") < ANN_RECALL_CLUSTERS).select(
+        F.col("vec_id").alias("_cid"), F.col("embedding").alias("_cv")
+    )
+    clustered = embs.join(
+        F.broadcast(centers),
+        F.pmod(F.col("vec_id"), F.lit(ANN_RECALL_CLUSTERS)) == F.col("_cid"),
+    ).select(
+        "vec_id",
+        F.zip_with(
+            "_cv", "embedding",
+            lambda c, o: c.cast("double") + F.lit(0.05) * o.cast("double"),
+        ).alias("embedding"),
+    )
+    queries = clustered.where(F.col("vec_id") % 20 == 0)
+    centroids = ann_ops.train_centroids(clustered, n_list=ANN_RECALL_CLUSTERS)
+    approx = ann_ops.ivf_topk(
+        clustered, queries, k=10, centroids=centroids, n_probe=ANN_RECALL_NPROBE
+    )
+    exact = ann_ops.cosine_topk(clustered, queries, k=10)
+    out = ann_ops.recall_by_query(approx, exact, k=10)
+    return out.select(
+        "query_id",
+        F.col("n_hit").cast("long").alias("n_hit"),
+        _RND("recall", 4).alias("recall_r"),
     )
 
 
@@ -1903,6 +2000,51 @@ def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_ops.match_trajectories(pc, edges, G, edge_nodes)
 
 
+def q_matched_edge_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connectivity among the distinct matched edges (the reference
+    rebuilds this with an O(n²) python loop, map_match.py:163-173; here a
+    node-id self-join, map_match.matched_edge_connections). Completes the
+    map-matching story: matched states → GeoRelation edge graph."""
+    from trajlib_spark.operators import map_match as mm_ops
+    from trajlib_spark.sources import roads
+
+    matched = q_map_match(spark, sf_dir)
+    edges = roads.road_edges(spark, G)
+    return mm_ops.matched_edge_connections(matched, edges)
+
+
+def _sql_matched_edge_graph() -> str:
+    """HYBRID oracle: the matched states come from the committed map_match
+    golden (Viterbi is not SQL-expressible), but everything this query
+    ADDS — the jittered-Manhattan edge topology (roads.road_grid_arrays
+    node ids: right edges r·39+c then up edges 1560+r·40+c), the distinct,
+    and the to_node=from_node self-join — is recomputed LIVE in DuckDB."""
+    return f"""
+WITH edges AS (
+  SELECT CAST(r * 39 + c AS BIGINT) AS edge_id,
+         CAST(r * 40 + c AS BIGINT) AS from_node,
+         CAST(r * 40 + c + 1 AS BIGINT) AS to_node
+  FROM (SELECT unnest(range(40)) AS r), (SELECT unnest(range(39)) AS c)
+  UNION ALL
+  SELECT CAST(1560 + r * 40 + c AS BIGINT),
+         CAST(r * 40 + c AS BIGINT),
+         CAST((r + 1) * 40 + c AS BIGINT)
+  FROM (SELECT unnest(range(39)) AS r), (SELECT unnest(range(40)) AS c)
+),
+used AS (
+  SELECT DISTINCT edge_id
+  FROM read_parquet('{_golden_dir()}/map_match.parquet')
+  WHERE edge_id >= 0
+),
+ue AS (
+  SELECT e.edge_id, e.from_node, e.to_node
+  FROM used u JOIN edges e USING (edge_id)
+)
+SELECT a.edge_id AS edge_a, b.edge_id AS edge_b
+FROM ue a JOIN ue b ON a.to_node = b.from_node AND a.edge_id <> b.edge_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1919,69 +2061,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered for a possibly-capped driver run (r2 recorded exactly 50 of
-    # 56): queries with no CORRECTNESS row yet come FIRST, headline
-    # operators next, and the tail holds the queries whose operators are
-    # most redundantly covered elsewhere (single scalar functions that
-    # also ride other green rows, and the generic-SQL extras).
+    # Rotation policy (VERDICT r3 item 2) for a driver capped at 50 rows:
+    # every query's evidence must stay ≤ 1 round old, so the queries whose
+    # latest green row is OLDEST come first — r4 order: (a) the 12 queries
+    # with only r02 rows (the r03 run's cap cut them), (b) queries NEW
+    # this round, (c) queries whose code or oracle CHANGED this round,
+    # (d) unchanged r03-green queries, with the last 15 of those as the
+    # overflow tail (they lose nothing if the cap cuts them: their r03
+    # rows stay exactly one round old).
     return {
-        # --- no driver row yet (r2 gap + round-3 additions) ---
-        "pages_points": q_pages_points,
-        "porto_clean": q_porto_clean,
-        "porto_points": q_porto_points,
-        "media_features": q_media_features,
-        "media_real": q_media_real,
-        "polygon_adjacency": q_polygon_adjacency,
-        "cluster_merge": q_cluster_merge,
-        "measure_topk_lcss": q_measure_topk_lcss,
-        "map_match": q_map_match,
-        "cell_walks": q_cell_walks,
-        "video_frames": q_video_frames,
-        "measure_topk_edwp": q_measure_topk_edwp,
-        # --- red in r2, fixed this round ---
-        "kinematics": q_kinematics,
-        # --- headline operator families ---
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "embedding_near_dups": q_embedding_near_dups,
-        "doc_fingerprint": q_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "ann_cosine": q_ann_cosine,
-        "ann_ivf": q_ann_ivf,
-        "token_count": q_token_count,
-        "quality_score": q_quality,
-        "lang_id": q_lang_id,
-        "pip_join": q_pip_join,
-        "knn": q_knn,
-        "cell_assign": q_cell_assign,
-        "tile_pyramid": q_tile_pyramid,
-        "stay_collapse": q_stay_collapse,
-        "sessionize": q_sessionize,
-        "points_derive": q_points,
-        "spatial_features": q_spatial_features,
-        "traj_stats": q_traj_stats,
-        "traj_nested": q_traj_nested,
-        "segment_pairs": q_segment_pairs,
-        "segment_cut": q_segment_cut,
-        "rdp_simplify": q_rdp_simplify,
-        "similarity_edwp": q_similarity_edwp,
-        "similarity_lcss": q_similarity_lcss,
-        "similarity_edr": q_similarity_edr,
-        "similarity_frechet": q_similarity_frechet,
-        "similarity_hausdorff": q_similarity_hausdorff,
-        "measure_topk": q_measure_topk,
-        "silhouette": q_silhouette,
-        "cluster_segments": q_cluster_segments,
-        "symmetrize_norm": q_symmetrize_norm,
-        "rank_metric": q_rank_metric,
-        "hit_ratio": q_hit_ratio,
-        "fed_split": q_fed_split,
-        "augment_time_shift": q_augment_time_shift,
-        "newsimi_raw": q_newsimi_raw,
+        # --- (a) latest row is r02 (rotated out by the r03 cap) ---
         "newsimi_downsample": q_newsimi_downsample,
         "newsimi_distort": q_newsimi_distort,
-        # --- redundantly-covered tail (functions riding other green rows,
-        # generic-SQL extras) — the least evidence lost if a cap cuts here
         "bearing": q_bearing,
         "haversine": q_haversine,
         "zscore_norm": q_zscore,
@@ -1992,6 +2083,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running": q_events_running,
         "top_customers": q_top_customers,
         "pricing_summary": q_pricing_summary,
+        # --- (b) new this round ---
+        "walk_skipgrams": q_walk_skipgrams,
+        "matched_edge_graph": q_matched_edge_graph,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        # --- (c) code or oracle changed this round ---
+        "simhash": q_simhash,
+        "video_frames": q_video_frames,
+        "measure_topk": q_measure_topk,
+        "measure_topk_lcss": q_measure_topk_lcss,
+        "measure_topk_edwp": q_measure_topk_edwp,
+        "segment_pairs": q_segment_pairs,
+        # --- (d) unchanged, green in r03 ---
+        "map_match": q_map_match,
+        "cell_walks": q_cell_walks,
+        "minhash_lsh": q_minhash_lsh,
+        "embedding_near_dups": q_embedding_near_dups,
+        "doc_fingerprint": q_fingerprint,
+        "ann_cosine": q_ann_cosine,
+        "ann_ivf": q_ann_ivf,
+        "pip_join": q_pip_join,
+        "knn": q_knn,
+        "tile_pyramid": q_tile_pyramid,
+        "sessionize": q_sessionize,
+        "spatial_features": q_spatial_features,
+        "traj_stats": q_traj_stats,
+        "segment_cut": q_segment_cut,
+        "similarity_edwp": q_similarity_edwp,
+        "similarity_lcss": q_similarity_lcss,
+        "similarity_edr": q_similarity_edr,
+        "similarity_frechet": q_similarity_frechet,
+        "similarity_hausdorff": q_similarity_hausdorff,
+        "cluster_segments": q_cluster_segments,
+        "cluster_merge": q_cluster_merge,
+        "symmetrize_norm": q_symmetrize_norm,
+        "fed_split": q_fed_split,
+        "augment_time_shift": q_augment_time_shift,
+        "newsimi_raw": q_newsimi_raw,
+        "pages_points": q_pages_points,
+        "porto_clean": q_porto_clean,
+        "porto_points": q_porto_points,
+        "media_real": q_media_real,
+        # --- overflow tail (position > 50): all green in r03, unchanged —
+        # a 50-row cap leaves their evidence exactly one round old
+        "media_features": q_media_features,
+        "polygon_adjacency": q_polygon_adjacency,
+        "kinematics": q_kinematics,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_score": q_quality,
+        "lang_id": q_lang_id,
+        "cell_assign": q_cell_assign,
+        "stay_collapse": q_stay_collapse,
+        "points_derive": q_points,
+        "traj_nested": q_traj_nested,
+        "rdp_simplify": q_rdp_simplify,
+        "silhouette": q_silhouette,
+        "rank_metric": q_rank_metric,
+        "hit_ratio": q_hit_ratio,
     }
 
 
@@ -2019,9 +2168,9 @@ _GOLDEN_QUERIES = (
     "segment_cut", "rdp_simplify", "similarity_edwp", "similarity_lcss",
     "similarity_edr", "similarity_frechet", "similarity_hausdorff",
     "embedding_near_dups", "measure_topk",
-    "silhouette", "cluster_segments", "minhash_lsh", "simhash",
+    "silhouette", "cluster_segments", "minhash_lsh",
     "newsimi_downsample", "newsimi_distort",
-    "doc_fingerprint", "ann_ivf",
+    "doc_fingerprint", "ann_ivf", "ann_ivf_recall",
     "media_features", "media_real", "video_frames",
     "cluster_merge", "measure_topk_lcss", "measure_topk_edwp", "map_match",
 )
@@ -2035,6 +2184,9 @@ def oracle_sql() -> dict[str, str]:
     out["pages_points"] = sql_pages_points(
         {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 100000}.get(sf, 2000)
     )
+    # hybrid: live connectivity SQL over the committed map_match golden
+    # (path tracks the gate's scale factor, like the golden queries)
+    out["matched_edge_graph"] = _sql_matched_edge_graph()
     return out
 
 
@@ -2077,6 +2229,8 @@ def _build_sql_oracles() -> dict[str, str]:
         "porto_points": SQL_PORTO_POINTS,
         "polygon_adjacency": _polygon_adjacency_sql(),
         "cell_walks": SQL_CELL_WALKS,
+        "simhash": SQL_SIMHASH,
+        "walk_skipgrams": SQL_WALK_SKIPGRAMS,
     }
 
 

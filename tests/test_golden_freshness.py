@@ -18,12 +18,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 SF = "/root/testdata/sf0.001"
 GOLD = os.path.join(os.path.dirname(__file__), "golden", "oracle", "sf0.001")
 
-# pages_points / polygon_adjacency / porto_* left round 3: they now have
-# LIVE DuckDB SQL oracles instead of committed goldens
+# pages_points / polygon_adjacency / porto_* left round 3, simhash round 4:
+# they now have LIVE DuckDB SQL oracles instead of committed goldens
 CASES = [
-    "segment_cut", "similarity_lcss", "minhash_lsh", "simhash",
-    "ann_ivf", "measure_topk_lcss", "media_real", "embedding_near_dups",
-    "newsimi_downsample", "cluster_merge",
+    "segment_cut", "similarity_lcss", "minhash_lsh", "video_frames",
+    "ann_ivf", "ann_ivf_recall", "measure_topk_lcss", "media_real",
+    "embedding_near_dups", "newsimi_downsample", "cluster_merge",
 ]
 
 

@@ -201,3 +201,22 @@ def test_embedding_near_dups_multi_table_recall(spark):
     assert hits_multi >= hits_single
     assert hits_multi >= 27  # ≥0.9 recall on planted pairs
     assert single <= multi  # tables only ADD candidates
+
+
+def test_ann_ivf_recall_clustered_golden():
+    """The committed ann_ivf_recall golden (the driver row's oracle)
+    certifies recall ≥ 0.9 at n_probe=4 on the clustered fixture —
+    hard-signal coverage for the IVF scale path's RECALL, not just its
+    determinism (VERDICT r3 item 7; random-uniform vectors remain the
+    documented worst case in COVERAGE.md)."""
+    import os
+
+    import pandas as pd
+
+    for sf in ("sf0.001", "sf0.01"):
+        df = pd.read_parquet(
+            os.path.join(os.path.dirname(__file__), "golden", "oracle",
+                         sf, "ann_ivf_recall.parquet")
+        )
+        assert len(df) == 25
+        assert df["recall_r"].mean() >= 0.9

@@ -62,3 +62,36 @@ def test_walks_follow_edges_and_are_deterministic(spark, pairs):
         assert path[0] == 42
         for u, v in zip(path, path[1:]):
             assert v in adj[u], (wid, u, v)
+
+
+def test_skipgram_pairs_match_replica(spark, pairs):
+    """(center, context) generation: every ordered pair within ±window,
+    center ≠ context, exactly once per (walk, position pair)."""
+    starts = spark.createDataFrame([(5,), (100,)], "cell_id long")
+    w = walks.node2vec_walks(pairs, starts, 8, 2).persist()
+    got = sorted(
+        (r.walk_id, r.center_pos, r.center, r.context)
+        for r in walks.skipgram_pairs(w, window=3).collect()
+    )
+    by_walk: dict[int, dict[int, int]] = {}
+    for r in w.collect():
+        by_walk.setdefault(r.walk_id, {})[r.pos] = r.cell_id
+    expect = sorted(
+        (wid, cp, seq[cp], seq[xp])
+        for wid, seq in by_walk.items()
+        for cp in seq
+        for xp in seq
+        if xp != cp and abs(xp - cp) <= 3
+    )
+    assert got == expect
+    w.unpersist()
+
+
+def test_skipgram_window_ten_covers_reference_context(spark, pairs):
+    """With the reference's context window 10 and walk_length 12, every
+    position pairs with all but the two farthest-away positions."""
+    starts = spark.createDataFrame([(42,)], "cell_id long")
+    w = walks.node2vec_walks(pairs, starts, 12, 1)
+    n = walks.skipgram_pairs(w, window=10).count()
+    # ordered pairs within |Δpos| ≤ 10 among 12 positions: 12·11 − 2
+    assert n == 12 * 11 - 2

@@ -4,7 +4,7 @@ same SQL text the oracle queries use) and pure python/numpy for the
 algorithmic kernels — and commit the results as parquet under
 tests/golden/oracle/<sf>/<query>.parquet. ``oracle_sql()`` then serves
 them to the driver's DuckDB gate via read_parquet, giving TRACLUS / RDP /
-EDwP / LCSS / DBSCAN / MinHash / SimHash / IVF / porto / pages / media /
+EDwP / LCSS / DBSCAN / MinHash / IVF / porto / pages / media /
 adjacency the same hard rows+schema+hash signal as the SQL-expressible
 queries.
 
@@ -592,46 +592,6 @@ def g_minhash_lsh(sf_dir: str, num_perm: int = 64, bands: int = 16,
     )
 
 
-def g_simhash(sf_dir: str, max_hamming: int = 4) -> pd.DataFrame:
-    docs = load_docs(sf_dir)
-    sh = _doc_shingle_hashes(docs)
-    sigs = {}
-    for d, s in sh.items():
-        if len(s) == 0:
-            sigs[d] = np.uint64(0)
-            continue
-        bits = ((s[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int64)
-        acc = (2 * bits - 1).sum(axis=0)
-        val = np.uint64(0)
-        for bit in range(64):
-            if acc[bit] > 0:
-                val |= np.uint64(1) << np.uint64(bit)
-        sigs[d] = val
-    n_bands = max_hamming + 1
-    width = 64 // n_bands
-    mask = np.uint64((1 << width) - 1)
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for d, sig in sigs.items():
-        for bi in range(n_bands):
-            key = (bi, int((sig >> np.uint64(width * bi)) & mask))
-            buckets.setdefault(key, []).append(d)
-    cand = set()
-    for members in buckets.values():
-        ms = sorted(members)
-        for x in range(len(ms)):
-            for y in range(x + 1, len(ms)):
-                cand.add((ms[x], ms[y]))
-    rows = []
-    for i, j in sorted(cand):
-        ham = int(bin(int(sigs[i] ^ sigs[j])).count("1"))
-        if ham <= max_hamming:
-            rows.append((i, j, ham))
-    return pd.DataFrame(rows, columns=["i", "j", "hamming"]).astype(
-        {"i": "int64", "j": "int64", "hamming": "int64"}
-    )
-
-
 def g_doc_fingerprint(sf_dir: str) -> pd.DataFrame:
     docs = load_docs(sf_dir)
     return pd.DataFrame(
@@ -656,20 +616,12 @@ def _fold_dot(a, b) -> float:
     return acc
 
 
-def g_ann_ivf(sf_dir: str, n_list: int = 32, n_probe: int = 8,
-              k: int = 10) -> pd.DataFrame:
-    from trajlib_spark.operators.ann import (
-        SAMPLE_HASH_MOD,
-        SAMPLE_HASH_MULT,
-        nearest_lists_py,
-    )
+def _train_centroids_replica(X: np.ndarray, ids: np.ndarray, n_list: int) -> np.ndarray:
+    """Mirror of ann.train_centroids: deterministic hash-ordered sample
+    (reduce id mod MOD before multiplying — overflow-safe, identical
+    ordering for id < MOD), rng(11) init, 8 Lloyd iterations."""
+    from trajlib_spark.operators.ann import SAMPLE_HASH_MOD, SAMPLE_HASH_MULT
 
-    embs = load_embs(sf_dir)
-    ids = embs["vec_id"].astype("int64").to_numpy()
-    X = np.stack([np.asarray(v, dtype=np.float64) for v in embs["embedding"]])
-    # deterministic training sample: same hash order as train_centroids
-    # mirror of ann.train_centroids' overflow-safe hash: reduce mod MOD
-    # before multiplying (identical ordering for id < MOD)
     order = np.lexsort((ids, ((ids % SAMPLE_HASH_MOD) * SAMPLE_HASH_MULT) % SAMPLE_HASH_MOD))
     S = X[order[:4096]]
     Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
@@ -683,6 +635,17 @@ def g_ann_ivf(sf_dir: str, n_list: int = 32, n_probe: int = 8,
             if m.any():
                 v = Sn[m].mean(axis=0)
                 cent[ci] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def g_ann_ivf(sf_dir: str, n_list: int = 32, n_probe: int = 8,
+              k: int = 10) -> pd.DataFrame:
+    from trajlib_spark.operators.ann import nearest_lists_py
+
+    embs = load_embs(sf_dir)
+    ids = embs["vec_id"].astype("int64").to_numpy()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in embs["embedding"]])
+    cent = _train_centroids_replica(X, ids, n_list)
     list_id = nearest_lists_py(X, cent, 1)[:, 0]
     members: dict[int, list[int]] = {}
     for row, li in enumerate(list_id):
@@ -706,6 +669,53 @@ def g_ann_ivf(sf_dir: str, n_list: int = 32, n_probe: int = 8,
             out.append((int(ids[qi]), nid, r))
     return pd.DataFrame(out, columns=["query_id", "neighbor_id", "rank"]).astype(
         {"query_id": "int64", "neighbor_id": "int64", "rank": "int64"}
+    )
+
+
+def g_ann_ivf_recall(sf_dir: str, n_clusters: int = 25, n_probe: int = 4,
+                     k: int = 10) -> pd.DataFrame:
+    """Replica of q_ann_ivf_recall: clustered fixture (member v =
+    center(v mod 25) + 0.05·own, elementwise float64 — the same IEEE ops
+    Catalyst's zip_with performs), the shared centroid-training replica,
+    IVF probe sets vs the exact brute-force top-k, per-query recall."""
+    from trajlib_spark.operators.ann import nearest_lists_py
+
+    embs = load_embs(sf_dir)
+    ids = embs["vec_id"].astype("int64").to_numpy()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in embs["embedding"]])
+    id_row = {int(v): r for r, v in enumerate(ids)}
+    C = np.stack([X[id_row[int(v) % n_clusters]] for v in ids])
+    Xc = C + 0.05 * X
+    cent = _train_centroids_replica(Xc, ids, n_clusters)
+    list_id = nearest_lists_py(Xc, cent, 1)[:, 0]
+    members: dict[int, list[int]] = {}
+    for row, li in enumerate(list_id):
+        members.setdefault(int(li), []).append(row)
+    qrows = np.flatnonzero(ids % 20 == 0)
+    out = []
+    for qi in qrows:
+        qv = Xc[qi]
+        qn = math.sqrt(_fold_dot(qv, qv))
+
+        def topk_ids(rows) -> list[int]:
+            scored = []
+            for row in rows:
+                if ids[row] == ids[qi]:
+                    continue
+                cv = Xc[row]
+                cos = _fold_dot(qv, cv) / (qn * math.sqrt(_fold_dot(cv, cv)))
+                scored.append((-cos, int(ids[row])))
+            scored.sort()
+            return [nid for _, nid in scored[:k]]
+
+        probes = nearest_lists_py(Xc[qi : qi + 1], cent, n_probe)[0]
+        probed = [r for li in probes for r in members.get(int(li), [])]
+        approx = set(topk_ids(probed))
+        exact = topk_ids(range(len(ids)))
+        n_hit = sum(1 for nid in exact if nid in approx)
+        out.append((int(ids[qi]), n_hit, (round(n_hit / len(exact), 4) + 0e0)))
+    return pd.DataFrame(out, columns=["query_id", "n_hit", "recall_r"]).astype(
+        {"query_id": "int64", "n_hit": "int64"}
     )
 
 
@@ -938,9 +948,9 @@ GENERATORS = {
     "newsimi_downsample": g_newsimi_downsample,
     "newsimi_distort": g_newsimi_distort,
     "minhash_lsh": g_minhash_lsh,
-    "simhash": g_simhash,
     "doc_fingerprint": g_doc_fingerprint,
     "ann_ivf": g_ann_ivf,
+    "ann_ivf_recall": g_ann_ivf_recall,
     "media_features": g_media_features,
     "media_real": g_media_real,
     "video_frames": g_video_frames,

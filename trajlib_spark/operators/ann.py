@@ -228,6 +228,29 @@ def ivf_topk(
     )
 
 
+def recall_by_query(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """(query_id, n_hit, recall) per query: |approx ∩ exact| within the
+    top-k, over the exact neighbor count — the DataFrame-valued recall
+    certification (recall_at_k collapses it to one scalar). Two bounded
+    aggregates + one semi-join; no new scan of the corpus."""
+    a = approx.where(F.col("rank") <= k).select("query_id", "neighbor_id")
+    e = exact.where(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    base = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
     a = approx.where(F.col("rank") <= k).select("query_id", "neighbor_id")
     e = exact.where(F.col("rank") <= k).select("query_id", "neighbor_id")

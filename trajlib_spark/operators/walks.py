@@ -96,6 +96,38 @@ def node2vec_walks(
     ).select("walk_id", F.col("pos").cast("long").alias("pos"), node_col)
 
 
+def skipgram_pairs(
+    walks: DataFrame,
+    window: int = 10,
+    node_col: str = "cell_id",
+) -> DataFrame:
+    """(walk_id, center_pos, center, context) skip-gram pair generation
+    from the walk table — the remaining relational half of the reference's
+    cell-graph embedding before the torch boundary (torch-geometric's
+    Node2Vec samples (center, context) pairs with context_size 10,
+    /root/reference/fedtraj/model/layers/node2vec_.py:19-29; the SGD
+    consuming them stays the documented non-goal).
+
+    One self-equi-join on walk_id (walks are short — ≤ walk_length rows
+    per key, so the join fan is walk_length², bounded per key and
+    perfectly shuffle-partitioned by walk_id at any corpus size), keeping
+    positions within ±``window``."""
+    a = walks.select(
+        "walk_id", F.col("pos").alias("center_pos"), F.col(node_col).alias("center")
+    )
+    b = walks.select(
+        "walk_id", F.col("pos").alias("ctx_pos"), F.col(node_col).alias("context")
+    )
+    return (
+        a.join(b, "walk_id")
+        .where(
+            (F.col("ctx_pos") != F.col("center_pos"))
+            & (F.abs(F.col("ctx_pos") - F.col("center_pos")) <= window)
+        )
+        .select("walk_id", "center_pos", "center", "context")
+    )
+
+
 def walks_py(pairs_rows, start_nodes, walk_length=12, walks_per_node=2):
     """Single-process replica of node2vec_walks for oracles/tests: same
     adjacency ordering (sorted neighbor list) and the same (walk_id, step)
