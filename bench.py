@@ -97,7 +97,8 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
         "ann_cosine", "segment_cut", "minhash_lsh", "doc_fingerprint",
         "simhash", "symmetrize_norm", "newsimi_raw", "media_real",
         "embedding_near_dups", "measure_topk_lcss", "map_match", "cell_walks",
-        "video_frames",
+        "video_frames", "walk_skipgrams", "matched_edge_graph",
+        "ann_ivf_recall",
     ]
     qs = E.queries()
     out = {}

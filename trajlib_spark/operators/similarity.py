@@ -254,9 +254,12 @@ def _lcss_edr_topk(
     sqrt2 = 2.0 ** 0.5
     db_a = _traj_anchor(db_polys, "j", id_col=id_col).persist()
     q_a = _traj_anchor(query_polys, "i", id_col=id_col).persist()
-    if db_a.isEmpty() or q_a.isEmpty():
-        # empty side → empty result (the max-radius aggregates below would
-        # return NULL and crash; ADVICE r3)
+    r_dmax_v = db_a.agg(F.max("radius")).collect()[0][0]
+    r_qmax_v = q_a.agg(F.max("radius")).collect()[0][0]
+    if r_dmax_v is None or r_qmax_v is None:
+        # empty side → empty result (float(None) would crash below;
+        # ADVICE r3). The NULL aggregate doubles as the emptiness probe —
+        # no separate isEmpty job.
         id_type = dict(db_polys.dtypes)[id_col]
         empty = db_polys.sparkSession.createDataFrame(
             [], f"query_id {id_type}, neighbor_id {id_type}, dist double"
@@ -264,8 +267,7 @@ def _lcss_edr_topk(
         db_a.unpersist()
         q_a.unpersist()
         return topk(empty)
-    r_dmax = float(db_a.agg(F.max("radius")).collect()[0][0])
-    r_qmax = float(q_a.agg(F.max("radius")).collect()[0][0])
+    r_dmax, r_qmax = float(r_dmax_v), float(r_qmax_v)
     match_r = eps * sqrt2
     # δ trades ring size (query fan-out) against cell occupancy; ~6 rings
     # keeps the fan ≤ ~13², and a larger δ only ADDS candidates (exactness
@@ -357,16 +359,19 @@ def _lcss_edr_topk(
             .withColumn("_fr", F.row_number().over(wf))
             .where(F.col("_fr") <= k)
             .select("query_id", F.col("j").alias("neighbor_id"), F.lit(1.0).alias("dist"))
+            .persist()
         )
+        fillers.count()  # materialize while cand/needy caches are warm
 
     out = scored
     if fillers is not None:
         out = scored.unionByName(fillers)
     result = topk(out)
-    # scored stays cached (it holds the expensive kernel output the final
-    # plan reads once); the cheap intermediates release their blocks now —
-    # their lineage re-derives from the cached scored table if the filler
-    # branch of the final plan needs them again (ADVICE r3 leak list)
+    # the final plan reads only the two bounded caches — scored (the
+    # kernel output, one row per candidate pair) and fillers (≤ k rows per
+    # needy query, materialized above) — so the larger intermediates
+    # release their blocks now instead of leaking (ADVICE r3); nothing in
+    # the caller's execution re-derives them
     for df in (db_a, q_a, cand, needy):
         df.unpersist()
     return result
@@ -429,26 +434,28 @@ def measure_topk(
     db_anchored = _traj_anchor(
         db_polys.select(id_col, "xs", "ys"), "j", grid, id_col=id_col
     ).persist()
-    if db_anchored.isEmpty() or query_polys.isEmpty():
-        # same empty-input guard as the ε-match path: the radius aggregates
-        # below would return NULL and crash on float(None)
+    q_all = _traj_anchor(
+        query_polys.select(id_col, "xs", "ys"), "i", grid, id_col=id_col
+    ).persist()
+    r_dmax_v = db_anchored.agg(F.max("radius")).collect()[0][0]
+    r_qmin_v = q_all.agg(F.min("radius")).collect()[0][0]
+    if r_dmax_v is None or r_qmin_v is None:
+        # empty side → empty result (float(None) would crash; ADVICE r3);
+        # the NULL aggregate doubles as the emptiness probe
         id_type = dict(db_polys.dtypes)[id_col]
         db_anchored.unpersist()
+        q_all.unpersist()
         return topk(db_polys.sparkSession.createDataFrame(
             [], f"query_id {id_type}, neighbor_id {id_type}, dist double"
         ))
+    r_dmax, r_qmin = float(r_dmax_v), float(r_qmin_v)
     db_cells = db_anchored.select(
         "j", cell_id_expr("a_ix", "a_iy", grid).alias("cell_id")
     )
     db_lines = db_anchored.select(
         "j", F.col("xs").alias("xs_d"), F.col("ys").alias("ys_d")
     )
-    r_dmax = float(db_anchored.agg(F.max("radius")).collect()[0][0])
-    q_all = _traj_anchor(
-        query_polys.select(id_col, "xs", "ys"), "i", grid, id_col=id_col
-    ).persist()
     q_lines = q_all.select("i", F.col("xs").alias("xs_q"), F.col("ys").alias("ys_q"))
-    r_qmin = float(q_all.agg(F.min("radius")).collect()[0][0])
 
     cover = max(grid.x_size, grid.y_size)
     min_unit = min(grid.x_unit, grid.y_unit)

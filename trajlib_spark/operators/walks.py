@@ -108,23 +108,29 @@ def skipgram_pairs(
     /root/reference/fedtraj/model/layers/node2vec_.py:19-29; the SGD
     consuming them stays the documented non-goal).
 
-    One self-equi-join on walk_id (walks are short — ≤ walk_length rows
-    per key, so the join fan is walk_length², bounded per key and
-    perfectly shuffle-partitioned by walk_id at any corpus size), keeping
-    positions within ±``window``."""
-    a = walks.select(
-        "walk_id", F.col("pos").alias("center_pos"), F.col(node_col).alias("center")
-    )
-    b = walks.select(
-        "walk_id", F.col("pos").alias("ctx_pos"), F.col(node_col).alias("context")
-    )
+    ONE shuffle: collect each walk into a sorted array (walks are short —
+    ≤ walk_length elements), then fan the walk_length² position pairs with
+    two narrow explodes and filter to ±``window``. A walk_id self-join
+    would shuffle the table twice AND evaluate the walk-generation chain
+    twice (it is not cached); the collect form evaluates it once."""
+    seq = F.sort_array(F.collect_list(F.struct(F.col("pos"), F.col(node_col))))
+    arr = walks.groupBy("walk_id").agg(seq.alias("_seq"))
+    centers = arr.select("walk_id", "_seq", F.explode("_seq").alias("_c"))
     return (
-        a.join(b, "walk_id")
-        .where(
-            (F.col("ctx_pos") != F.col("center_pos"))
-            & (F.abs(F.col("ctx_pos") - F.col("center_pos")) <= window)
+        centers.select(
+            "walk_id",
+            F.col("_c.pos").alias("center_pos"),
+            F.col(f"_c.{node_col}").alias("center"),
+            F.explode("_seq").alias("_x"),
         )
-        .select("walk_id", "center_pos", "center", "context")
+        .where(
+            (F.col("_x.pos") != F.col("center_pos"))
+            & (F.abs(F.col("_x.pos") - F.col("center_pos")) <= window)
+        )
+        .select(
+            "walk_id", "center_pos", "center",
+            F.col(f"_x.{node_col}").alias("context"),
+        )
     )
 
 
