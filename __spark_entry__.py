@@ -913,6 +913,26 @@ FROM documents
 """
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary heavy hitters (training-data pipeline: vocabulary /
+    heavy-hitter extraction before tokenizer training). Catalyst plans the
+    orderBy+limit as TakeOrderedAndProject — per-partition top-k heaps,
+    no global sort."""
+    return text_ops.vocab_topk(_docs(spark, sf_dir), k=100)
+
+
+SQL_VOCAB_TOPK = """
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+)
+SELECT token, count(*) AS n_occurrences
+FROM toks WHERE length(token) > 0
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 100
+"""
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = text_ops.with_quality(_docs(spark, sf_dir))
     return out.select(
@@ -1486,6 +1506,42 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.ngram_jaccard_verify(docs, cands, threshold=0.5).select(
         "i", "j", _RND("jaccard", 4).alias("jaccard_r")
     )
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS from the verified MinHash pair table: connected
+    components by min-label propagation (dedup.connected_components) —
+    the stage that turns pairwise near-dup evidence into keep/drop
+    decisions (keeper = component id = smallest doc id)."""
+    docs = _docs(spark, sf_dir).repartition(16, "doc_id")
+    sigs = dedup_ops.minhash_signatures(docs)
+    cands = dedup_ops.lsh_candidates(sigs)
+    pairs = dedup_ops.ngram_jaccard_verify(docs, cands, threshold=0.5)
+    cc = dedup_ops.connected_components(pairs.select("i", "j"))
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def _sql_dedup_components() -> str:
+    """HYBRID oracle: the verified pair table comes from the committed
+    minhash_lsh golden (the engine's pair table is itself gated against
+    it), while everything this query ADDS — undirected closure and
+    min-reachable-id per node — is a LIVE DuckDB recursive CTE."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT i, j FROM read_parquet('{_golden_dir()}/minhash_lsh.parquet')
+),
+und AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT re.node, u.b FROM reach re JOIN und u ON re.r = u.a
+)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2087,6 +2143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_skipgrams": q_walk_skipgrams,
         "matched_edge_graph": q_matched_edge_graph,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "dedup_components": q_dedup_components,
+        "vocab_topk": q_vocab_topk,
         # --- (c) code or oracle changed this round ---
         "simhash": q_simhash,
         "video_frames": q_video_frames,
@@ -2122,10 +2180,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "newsimi_raw": q_newsimi_raw,
         "pages_points": q_pages_points,
         "porto_clean": q_porto_clean,
-        "porto_points": q_porto_points,
-        "media_real": q_media_real,
         # --- overflow tail (position > 50): all green in r03, unchanged —
         # a 50-row cap leaves their evidence exactly one round old
+        "porto_points": q_porto_points,
+        "media_real": q_media_real,
         "media_features": q_media_features,
         "polygon_adjacency": q_polygon_adjacency,
         "kinematics": q_kinematics,
@@ -2184,9 +2242,10 @@ def oracle_sql() -> dict[str, str]:
     out["pages_points"] = sql_pages_points(
         {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 100000}.get(sf, 2000)
     )
-    # hybrid: live connectivity SQL over the committed map_match golden
-    # (path tracks the gate's scale factor, like the golden queries)
+    # hybrid oracles: live SQL over a committed golden for the non-SQL
+    # stage (paths track the gate's scale factor, like the golden queries)
     out["matched_edge_graph"] = _sql_matched_edge_graph()
+    out["dedup_components"] = _sql_dedup_components()
     return out
 
 
@@ -2231,6 +2290,7 @@ def _build_sql_oracles() -> dict[str, str]:
         "cell_walks": SQL_CELL_WALKS,
         "simhash": SQL_SIMHASH,
         "walk_skipgrams": SQL_WALK_SKIPGRAMS,
+        "vocab_topk": SQL_VOCAB_TOPK,
     }
 
 

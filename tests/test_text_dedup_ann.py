@@ -220,3 +220,31 @@ def test_ann_ivf_recall_clustered_golden():
         )
         assert len(df) == 25
         assert df["recall_r"].mean() >= 0.9
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation: a 4-node chain (diameter 3 — needs real
+    multi-round propagation), a 2-node island, and a triangle all resolve
+    to their smallest member id."""
+    from trajlib_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13),     # chain 10-11-12-13
+         (20, 21),                          # island
+         (30, 31), (31, 32), (30, 32)],    # triangle
+        "i long, j long",
+    )
+    got = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
+
+
+def test_vocab_topk_order_and_ties(spark):
+    from trajlib_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "b b a a c"), (1, "B a d")], "doc_id long, text string"
+    )
+    got = [(r.token, r.n_occurrences) for r in T.vocab_topk(docs, k=3).collect()]
+    # a:3, b:3 (case-folded), c:1, d:1 — count desc then token asc
+    assert got == [("a", 3), ("b", 3), ("c", 1)]

@@ -357,3 +357,54 @@ def embedding_near_dups(
         .where(F.col("cosine") >= threshold)
         .select("i", "j", "cosine")
     )
+
+
+# --- near-dup components ------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, i: str = "i", j: str = "j", max_iter: int = 25
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``: component
+    = the smallest node id reachable over the undirected pair edges — the
+    stage that turns verified near-dup PAIRS into dedup GROUPS (keep
+    component == node, drop the rest).
+
+    Min-label propagation to fixpoint: each round is ONE shuffle (labels ∪
+    neighbor-labels → groupBy node → min). Labels only decrease, so the
+    global label sum is a convergence certificate — one scalar aggregate
+    per round, no row-level diff join. Rounds needed = component diameter;
+    near-dup clusters are small and dense (diameter ~1-3), which is why
+    plain propagation beats the large-star/small-star machinery here (that
+    variant is the documented switch if components ever grow
+    path-shaped)."""
+    und = (
+        pairs.select(F.col(i).alias("a"), F.col(j).alias("b"))
+        .unionAll(pairs.select(F.col(j).alias("a"), F.col(i).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    cur = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = und.join(
+            labels.select(F.col("node").alias("b"), F.col("label")), "b"
+        ).select(F.col("a").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        new = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new == cur:
+            break
+        cur = new
+    und.unpersist()
+    return labels.select("node", F.col("label").alias("component"))

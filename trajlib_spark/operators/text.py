@@ -127,3 +127,20 @@ def with_fingerprint(docs: DataFrame, text: str = "text") -> DataFrame:
         list(docs.schema.fields) + [T.StructField("fingerprint", T.LongType())]
     )
     return docs.mapInPandas(run, schema)
+
+
+def vocab_topk(docs: DataFrame, k: int = 100, text: str = "text") -> DataFrame:
+    """Vocabulary heavy hitters: (token, n_occurrences) for the k most
+    frequent lowercased whitespace tokens, tie-broken by token ascending.
+
+    Scale shape: explode(split) → hash aggregate (map-side partial
+    combine — each task pre-reduces its tokens before the single shuffle
+    on token) → orderBy+limit, which Catalyst plans as
+    TakeOrderedAndProject: every partition keeps its local top-k heap and
+    the driver merges k·P rows — never a global sort, never a one-task
+    window."""
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col(text)), " ")).alias("token")
+    ).where(F.length("token") > 0)
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
