@@ -248,3 +248,39 @@ def test_vocab_topk_order_and_ties(spark):
     got = [(r.token, r.n_occurrences) for r in T.vocab_topk(docs, k=3).collect()]
     # a:3, b:3 (case-folded), c:1, d:1 — count desc then token asc
     assert got == [("a", 3), ("b", 3), ("c", 1)]
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property check: on seeded random graphs the distributed min-label
+    propagation equals a plain python union-find (independent algorithm,
+    not a replica)."""
+    import random
+
+    from trajlib_spark.operators import dedup
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+        n = 60
+        edges = sorted({
+            tuple(sorted(rng.sample(range(n), 2))) for _ in range(70)
+        })
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        expect = {v: find(v) for v in touched}
+        pairs = spark.createDataFrame(edges, "i long, j long")
+        got = {
+            r.node: r.component
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == expect, seed

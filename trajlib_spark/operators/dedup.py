@@ -372,11 +372,15 @@ def connected_components(
     Min-label propagation to fixpoint: each round is ONE shuffle (labels ∪
     neighbor-labels → groupBy node → min). Labels only decrease, so the
     global label sum is a convergence certificate — one scalar aggregate
-    per round, no row-level diff join. Rounds needed = component diameter;
-    near-dup clusters are small and dense (diameter ~1-3), which is why
-    plain propagation beats the large-star/small-star machinery here (that
-    variant is the documented switch if components ever grow
-    path-shaped)."""
+    per round, no row-level diff join. Each round's result is an EAGER
+    localCheckpoint: the round's plan references the previous labels
+    twice, so without lineage truncation the logical plan doubles per
+    round (2^rounds nodes — the property test OOM'd the driver on a
+    diameter-15 random graph before this). Rounds needed = component
+    diameter; near-dup clusters are small and dense (diameter ~1-3),
+    which is why plain propagation beats the large-star/small-star
+    machinery here (that variant is the documented switch if components
+    ever grow path-shaped)."""
     und = (
         pairs.select(F.col(i).alias("a"), F.col(j).alias("b"))
         .unionAll(pairs.select(F.col(j).alias("a"), F.col(i).alias("b")))
@@ -387,7 +391,7 @@ def connected_components(
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     cur = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
@@ -398,10 +402,10 @@ def connected_components(
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         new = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
+        labels.unpersist()  # checkpoint blocks of the superseded round
         labels = new_labels
         if new == cur:
             break
