@@ -225,6 +225,12 @@ def sf1_pilot(sf_dir: str, cpus: int) -> dict:
         out["minhash_docs"] = 50_000
         out["minhash_sec"] = round(time.time() - t0, 2)
         out["minhash_skew_splits"] = _plan_skew_count(verified)
+        # pairs → dedup groups: connected components over the verified
+        # pair table (~250k pairs at this scale, tight size-10 clusters)
+        t0 = time.time()
+        comp = dedup.connected_components(verified.select("i", "j"))
+        out["dedup_component_nodes"] = _run_and_count(comp)
+        out["dedup_components_sec"] = round(time.time() - t0, 2)
         spark.catalog.clearCache()
 
         # 3) measure_topk (exact grid-pruned Hausdorff) over 10× the
