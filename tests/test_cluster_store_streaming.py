@@ -413,3 +413,79 @@ def test_streaming_tile_counts(spark, tmp_path):
         assert cell in batch_counts
         assert cnt <= batch_counts[cell]
         assert cnt == (1 if minute == 1 else cnt)
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """One survivor per content hash with bounded (watermarked) state;
+    duplicates inside the horizon are dropped, distinct texts all survive.
+    The survivor is engine-arrival-ordered (NOT event-time min — Spark
+    documents no ordering for dropDuplicatesWithinWatermark), so parity
+    with the batch keeper is on the surviving GROUP set, not the row id."""
+    import pandas as pd
+
+    from trajlib_spark.operators import dedup as batch_dedup
+    from trajlib_spark.streaming.dedup import streaming_exact_dedup
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": ["aa", "bb", "aa", "cc", "bb", "aa"],
+            "ts": pd.to_datetime([0, 1000, 2000, 3000, 4000, 5000], unit="ms"),
+        }
+    )
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src)
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT doc_id, text FROM dedup_out").collect()
+    # exactly one survivor per distinct text
+    assert sorted(r.text for r in out) == ["aa", "bb", "cc"]
+    # each survivor belongs to its text's duplicate group, and the set of
+    # surviving GROUPS equals the batch operator's group set
+    groups = {t: set(pdf[pdf.text == t].doc_id) for t in pdf.text.unique()}
+    for r in out:
+        assert r.doc_id in groups[r.text]
+    batch = batch_dedup.exact_duplicates(spark.createDataFrame(pdf)).collect()
+    assert len(batch) == len(out)
+
+
+def test_streaming_signature_dedup(spark, tmp_path):
+    """Near-dup gate: documents sharing the (precomputed) signature band
+    collapse to one survivor within the horizon; distinct bands pass."""
+    import pandas as pd
+
+    from trajlib_spark.streaming.dedup import streaming_signature_dedup
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "sig_band": [7, 7, 9, 7],
+            "ts": pd.to_datetime([0, 1000, 2000, 3000], unit="ms"),
+        }
+    )
+    src = str(tmp_path / "sig_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, sig_band long, ts timestamp").parquet(src)
+    q = (
+        streaming_signature_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sigdedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT sig_band FROM sigdedup_out").collect()
+    assert sorted(r.sig_band for r in out) == [7, 9]
