@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-EVERY ``queries()`` entry has an ``oracle_sql()`` entry — 61/61:
+EVERY ``queries()`` entry has an ``oracle_sql()`` entry — 68/68:
 - SQL-expressible operators get equivalent DuckDB SQL over the same
   parquet views; parity-critical arithmetic lives once in
   trajlib_spark.sources.synth / trajlib_spark.config and is interpolated
@@ -930,6 +930,40 @@ FROM toks WHERE length(token) > 0
 GROUP BY token
 ORDER BY n_occurrences DESC, token
 LIMIT 100
+"""
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (smoothed idf) — the relevance/
+    quality primitive a training-data pipeline uses for keyword profiling
+    and near-topic filtering."""
+    return text_ops.tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
+SQL_TFIDF_TOPTERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM toks WHERE length(token) > 0 GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         (round(tf.tf * (ln((n.n_docs + 1e0) / (dfreq.df + 1e0)) + 1e0), 6) + 0e0)
+           AS tfidf_r
+  FROM tf JOIN dfreq USING (token), n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf_r DESC, token
+  ) AS term_rank
+  FROM scored
+)
+SELECT doc_id, token, tf, df, tfidf_r, CAST(term_rank AS BIGINT) AS term_rank
+FROM ranked WHERE term_rank <= 5
 """
 
 
@@ -2145,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": q_ann_ivf_recall,
         "dedup_components": q_dedup_components,
         "vocab_topk": q_vocab_topk,
+        "tfidf_topterms": q_tfidf_topterms,
         # --- (c) code or oracle changed this round ---
         "simhash": q_simhash,
         "video_frames": q_video_frames,
@@ -2291,6 +2326,7 @@ def _build_sql_oracles() -> dict[str, str]:
         "simhash": SQL_SIMHASH,
         "walk_skipgrams": SQL_WALK_SKIPGRAMS,
         "vocab_topk": SQL_VOCAB_TOPK,
+        "tfidf_topterms": SQL_TFIDF_TOPTERMS,
     }
 
 

@@ -284,3 +284,27 @@ def test_connected_components_random_graphs_match_union_find(spark):
             for r in dedup.connected_components(pairs).collect()
         }
         assert got == expect, seed
+
+
+def test_tfidf_top_terms_semantics(spark):
+    """Smoothed idf: a corpus-wide token scores below a rare token with
+    the same tf; ranks are per-doc and deterministic."""
+    import math
+
+    from trajlib_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "common rare common"), (1, "common other"), (2, "common thing")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.token): (r.tf, r.df, r.tfidf_r, r.term_rank)
+           for r in T.tfidf_top_terms(docs, k=2).collect()}
+    # doc 0: 'common' tf=2 df=3, 'rare' tf=1 df=1
+    idf = lambda df: math.log(4.0 / (df + 1.0)) + 1.0
+    assert out[(0, "common")][2] == round(2 * idf(3), 6) + 0.0
+    assert out[(0, "rare")][2] == round(1 * idf(1), 6) + 0.0
+    # rare beats common-despite-higher-tf iff its score is higher
+    want_first = "rare" if round(idf(1), 6) > round(2 * idf(3), 6) else "common"
+    assert [t for (d, t), v in sorted(out.items(), key=lambda kv: kv[1][3])
+            if d == 0][0] == want_first
+    assert all(v[3] in (1, 2) for v in out.values())

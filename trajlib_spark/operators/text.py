@@ -144,3 +144,39 @@ def vocab_topk(docs: DataFrame, k: int = 100, text: str = "text") -> DataFrame:
     ).where(F.length("token") > 0)
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
     return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 5, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf = in-doc token count, idf =
+    ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style), ranked per doc by the
+    6-dp-rounded score then token (the rounding makes the rank key
+    discrete, so a 1-ulp ln() divergence between engines cannot flip an
+    order the oracle sees).
+
+    Scale shape: one explode → two hash aggregates (per-(doc, token) tf,
+    per-token df — both map-side combined) → broadcast-sized df join →
+    per-doc window (partitioned by doc id, parallel at any N). N is one
+    metadata scalar."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text)), " ")).alias("token"),
+    ).where(F.length("token") > 0)
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    scored = tf.join(dfreq, "token").withColumn(
+        "tfidf_r",
+        F.round(F.col("tf") * idf, 6) + F.lit(0.0),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf_r"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= k)
+        .select(id_col, "token", "tf", "df", "tfidf_r",
+                F.col("term_rank").cast("long").alias("term_rank"))
+    )
