@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-EVERY ``queries()`` entry has an ``oracle_sql()`` entry — 68/68:
+EVERY ``queries()`` entry has an ``oracle_sql()`` entry — 69/69:
 - SQL-expressible operators get equivalent DuckDB SQL over the same
   parquet views; parity-critical arithmetic lives once in
   trajlib_spark.sources.synth / trajlib_spark.config and is interpolated
@@ -964,6 +964,27 @@ ranked AS (
 )
 SELECT doc_id, token, tf, df, tfidf_r, CAST(term_rank AS BIGINT) AS term_rank
 FROM ranked WHERE term_rank <= 5
+"""
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained character-trigram LM quality score per document —
+    the statistical sibling of the heuristic quality_score (perplexity-
+    style filtering without an external model)."""
+    return text_ops.trigram_lm_score(_docs(spark, sf_dir))
+
+
+SQL_LM_SCORE = """
+WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+pos AS (SELECT doc_id, t, unnest(range(length(t) - 2)) AS p0 FROM t),
+tri AS (SELECT doc_id, substr(t, CAST(p0 + 1 AS INTEGER), 3) AS tri FROM pos),
+model AS (SELECT tri, count(*) AS cnt FROM tri GROUP BY tri),
+total AS (SELECT sum(cnt) AS tot FROM model)
+SELECT doc_id,
+       count(*) AS n_trigrams,
+       (round(avg(ln(model.cnt / (SELECT tot FROM total))), 6) + 0e0) AS lm_score_r
+FROM tri JOIN model USING (tri)
+GROUP BY doc_id
 """
 
 
@@ -2180,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "vocab_topk": q_vocab_topk,
         "tfidf_topterms": q_tfidf_topterms,
+        "lm_score": q_lm_score,
         # --- (c) code or oracle changed this round ---
         "simhash": q_simhash,
         "video_frames": q_video_frames,
@@ -2327,6 +2349,7 @@ def _build_sql_oracles() -> dict[str, str]:
         "walk_skipgrams": SQL_WALK_SKIPGRAMS,
         "vocab_topk": SQL_VOCAB_TOPK,
         "tfidf_topterms": SQL_TFIDF_TOPTERMS,
+        "lm_score": SQL_LM_SCORE,
     }
 
 

@@ -308,3 +308,19 @@ def test_tfidf_top_terms_semantics(spark):
     assert [t for (d, t), v in sorted(out.items(), key=lambda kv: kv[1][3])
             if d == 0][0] == want_first
     assert all(v[3] in (1, 2) for v in out.values())
+
+
+def test_trigram_lm_score_semantics(spark):
+    """A doc made of corpus-common trigrams scores higher (less negative)
+    than one full of corpus-unique trigrams; trigram counts are exact."""
+    from trajlib_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "abcabcabc"), (1, "abcabcabc"), (2, "xyzqwvuts")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_trigrams, r.lm_score_r)
+           for r in T.trigram_lm_score(docs).collect()}
+    assert all(out[d][0] == 7 for d in (0, 1, 2))
+    assert out[0] == out[1]
+    assert out[0][1] > out[2][1]

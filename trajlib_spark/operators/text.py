@@ -180,3 +180,39 @@ def tfidf_top_terms(
         .select(id_col, "token", "tf", "df", "tfidf_r",
                 F.col("term_rank").cast("long").alias("term_rank"))
     )
+
+
+def trigram_lm_score(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Statistical quality scoring: mean character-trigram log-probability
+    under a model trained on the corpus itself — the relational core of
+    perplexity-style quality filters (KenLM-class scoring without the
+    external model: P(tri) = corpus count / corpus total).
+
+    Scale shape: trigrams come from a pure-Catalyst position explode
+    (sequence + substring, no UDF); the model is one map-side-combined
+    aggregate; scoring re-joins doc trigrams to the model — at corpus
+    scale the model table is vocabulary-bounded (≤ charset³ rows, here
+    ASCII ≈ bounded thousands) and broadcastable. Output:
+    (doc_id, n_trigrams, lm_score_r), score rounded to 6 dp so a 1-ulp
+    ln() divergence between engines cannot change what an oracle sees."""
+    tri = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(1), F.length(F.lower(F.col(text))) - 2)
+            ).alias("_p"),
+            F.lower(F.col(text)).alias("_t"),
+        )
+        .select(F.col(id_col), F.col("_t").substr(F.col("_p"), F.lit(3)).alias("tri"))
+    )
+    model = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
+    total = model.agg(F.sum("cnt")).collect()[0][0]
+    scored = tri.join(F.broadcast(model), "tri").select(
+        id_col, (F.log(F.col("cnt") / F.lit(float(total)))).alias("_lp")
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        (F.round(F.avg("_lp"), 6) + F.lit(0.0)).alias("lm_score_r"),
+    )
