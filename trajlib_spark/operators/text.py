@@ -207,7 +207,13 @@ def trigram_lm_score(
         )
         .select(F.col(id_col), F.col("_t").substr(F.col("_p"), F.lit(3)).alias("tri"))
     )
-    model = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
+    # the trigram stream feeds both the model aggregate and the scoring
+    # join — cache it so the corpus is scanned once, and derive the total
+    # from the (vocabulary-bounded) cached model instead of a third pass.
+    # At extreme corpus scale, trade the tri cache back for a second scan
+    # and keep only the model cached.
+    tri = tri.persist()
+    model = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt")).persist()
     total = model.agg(F.sum("cnt")).collect()[0][0]
     scored = tri.join(F.broadcast(model), "tri").select(
         id_col, (F.log(F.col("cnt") / F.lit(float(total)))).alias("_lp")
