@@ -227,9 +227,13 @@ def sf1_pilot(sf_dir: str, cpus: int) -> dict:
         out["minhash_sec"] = round(time.time() - t0, 2)
         out["minhash_skew_splits"] = _plan_skew_count(verified)
         # pairs → dedup groups: connected components over the verified
-        # pair table (~250k pairs at this scale, tight size-10 clusters)
+        # pair table (~250k pairs at this scale, tight size-10 clusters).
+        # Materialize the pair table FIRST (untimed — its cost is the
+        # minhash stage already measured above) so the CC timing is the
+        # components stage alone, not a pipeline recompute.
+        pairs = verified.select("i", "j").localCheckpoint(eager=True)
         t0 = time.time()
-        comp = dedup.connected_components(verified.select("i", "j"))
+        comp = dedup.connected_components(pairs)
         out["dedup_component_nodes"] = _run_and_count(comp)
         out["dedup_components_sec"] = round(time.time() - t0, 2)
         spark.catalog.clearCache()
