@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-EVERY ``queries()`` entry has an ``oracle_sql()`` entry — 69/69:
+EVERY ``queries()`` entry has an ``oracle_sql()`` entry — 60/60:
 - SQL-expressible operators get equivalent DuckDB SQL over the same
   parquet views; parity-critical arithmetic lives once in
   trajlib_spark.sources.synth / trajlib_spark.config and is interpolated
@@ -338,25 +338,44 @@ FROM sp
 """
 
 
-def q_bearing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference tool_funcs.radian bearings of consecutive lon/lat steps."""
+def q_point_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point derivation bundle — reference tool_funcs.radian bearing
+    and R=6367 km haversine of consecutive lon/lat steps plus the trajsimi
+    global population-σ z-score of the Mercator coordinates, in one table
+    and one window pass (consolidates the former bearing / haversine /
+    zscore_norm scalar queries, VERDICT r4 #2; first-of-trajectory step
+    columns stay NULL instead of being filtered)."""
     from pyspark.sql import Window
-    from trajlib_spark.functions.geometry import bearing_radian
+    from trajlib_spark.functions.geometry import bearing_radian, haversine_m
 
     pts = _points(spark, sf_dir)
+    stats = pts.agg(
+        F.avg("x").alias("mx"), F.stddev_pop("x").alias("sx"),
+        F.avg("y").alias("my"), F.stddev_pop("y").alias("sy"),
+    ).collect()[0]
     w = Window.partitionBy("traj_id").orderBy("ts_ms", "point_id")
     lp, lt = F.lag("lon").over(w), F.lag("lat").over(w)
     return pts.select(
         "point_id",
         bearing_radian(lp, lt, F.col("lon"), F.col("lat")).alias("bearing_ref"),
-    ).where(F.col("bearing_ref").isNotNull())
+        _RND(haversine_m(lp, lt, F.col("lon"), F.col("lat")), 3).alias("hav_r"),
+        _RND((F.col("x") - F.lit(stats.mx)) / F.lit(stats.sx), 6).alias("xz_r"),
+        _RND((F.col("y") - F.lit(stats.my)) / F.lit(stats.sy), 6).alias("yz_r"),
+    )
 
 
-SQL_BEARING = f"""
+SQL_POINT_DERIVATIONS = f"""
 WITH pts AS ({synth.points_sql('duckdb')}),
 nbr AS (
-  SELECT point_id, lon, lat, lag(lon) OVER w AS lp, lag(lat) OVER w AS lt
+  SELECT point_id, x, y, lon, lat,
+         lag(lon) OVER w AS lp, lag(lat) OVER w AS lt,
+         radians(lon) AS rlon, radians(lat) AS rlat,
+         radians(lag(lon) OVER w) AS plon, radians(lag(lat) OVER w) AS plat
   FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY ts_ms, point_id)
+),
+st AS (
+  SELECT avg(x) AS mx, stddev_pop(x) AS sx, avg(y) AS my, stddev_pop(y) AS sy
+  FROM pts
 )
 SELECT point_id,
   (round(CASE
@@ -364,8 +383,14 @@ SELECT point_id,
     WHEN lon - lp = 0 THEN {_L(4.71238898038469)}
     WHEN lon - lp < 0 THEN atan((lat - lt) / (lon - lp)) + {_L(3.141592653589793)}
     WHEN lat - lt < 0 THEN atan((lat - lt) / (lon - lp)) + {_L(6.283185307179586)}
-    ELSE atan((lat - lt) / (lon - lp)) END, 3) + 0e0) AS bearing_ref
-FROM nbr WHERE lp IS NOT NULL
+    ELSE atan((lat - lt) / (lon - lp)) END, 3) + 0e0) AS bearing_ref,
+  (round(((2.0e0 * asin(sqrt(
+      pow(sin((rlat - plat) / 2.0e0), 2.0e0)
+      + cos(plat) * cos(rlat) * pow(sin((rlon - plon) / 2.0e0), 2.0e0)
+  ))) * 6367000.0e0), 3) + 0e0) AS hav_r,
+  (round((x - mx) / sx, 6) + 0e0) AS xz_r,
+  (round((y - my) / sy, 6) + 0e0) AS yz_r
+FROM nbr, st
 """
 
 
@@ -551,12 +576,18 @@ SELECT i, j, (round(dist / max(dist) OVER (), 6) + 0e0) AS dist_norm_r FROM sym
 """
 
 
-def q_cell_mbr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tile geometry (get_mbr) for every occupied cell."""
+def q_cell_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile geometry (get_mbr) + boundary-clipped k=2 ring size for every
+    occupied cell (consolidates the former cell_mbr / kring scalar
+    queries, VERDICT r4 #2 — the per-point kring rows only repeated their
+    cell's value)."""
     pc = _points_cells(spark, sf_dir).select("i_x", "i_y", "cell_id").distinct()
     mbr = cell_ops.cell_mbr(F.col("i_x"), F.col("i_y"), G)
     return pc.select(
         "cell_id",
+        F.size(
+            cell_ops.kring_cell_ids(F.col("i_x"), F.col("i_y"), G, 2)
+        ).cast("long").alias("ring_cells"),
         _RND(mbr["x_lo"], 2).alias("x_lo_r"),
         _RND(mbr["y_lo"], 2).alias("y_lo_r"),
         _RND(mbr["x_hi"], 2).alias("x_hi_r"),
@@ -564,31 +595,14 @@ def q_cell_mbr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_CELL_MBR = f"""{_PRELUDE}
+SQL_CELL_GEOMETRY = f"""{_PRELUDE}
 SELECT DISTINCT cell_id,
+  (least(i_x + 2, {G.x_size - 1}) - greatest(i_x - 2, 0) + 1)
+  * (least(i_y + 2, {G.y_size - 1}) - greatest(i_y - 2, 0) + 1) AS ring_cells,
   (round({_L(G.x_min)} + {_L(G.x_unit)} * i_x, 2) + 0e0) AS x_lo_r,
   (round({_L(G.y_min)} + {_L(G.y_unit)} * i_y, 2) + 0e0) AS y_lo_r,
   (round(({_L(G.x_min)} + {_L(G.x_unit)} * i_x) + {_L(G.x_unit)}, 2) + 0e0) AS x_hi_r,
   (round(({_L(G.y_min)} + {_L(G.y_unit)} * i_y) + {_L(G.y_unit)}, 2) + 0e0) AS y_hi_r
-FROM cells
-"""
-
-
-def q_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Size of each point's boundary-clipped k=2 ring window."""
-    pc = _points_cells(spark, sf_dir)
-    return pc.select(
-        "point_id",
-        F.size(
-            cell_ops.kring_cell_ids(F.col("i_x"), F.col("i_y"), G, 2)
-        ).cast("long").alias("ring_cells"),
-    )
-
-
-SQL_KRING = f"""{_PRELUDE}
-SELECT point_id,
-  (least(i_x + 2, {G.x_size - 1}) - greatest(i_x - 2, 0) + 1)
-  * (least(i_y + 2, {G.y_size - 1}) - greatest(i_y - 2, 0) + 1) AS ring_cells
 FROM cells
 """
 
@@ -700,63 +714,6 @@ SELECT a.cell_id AS center_cell, b.cell_id AS context_cell,
 FROM walks a JOIN walks b
   ON a.walk_id = b.walk_id AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 10
 GROUP BY 1, 2
-"""
-
-
-def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Great-circle step distances with the reference's 6367 km radius."""
-    from pyspark.sql import Window
-    from trajlib_spark.functions.geometry import haversine_m
-
-    pts = _points(spark, sf_dir)
-    w = Window.partitionBy("traj_id").orderBy("ts_ms", "point_id")
-    out = pts.select(
-        "point_id",
-        _RND(
-            haversine_m(F.lag("lon").over(w), F.lag("lat").over(w), F.col("lon"), F.col("lat")),
-            3,
-        ).alias("hav_r"),
-    )
-    return out.where(F.col("hav_r").isNotNull())
-
-
-SQL_HAVERSINE = f"""
-WITH pts AS ({synth.points_sql('duckdb')}),
-nbr AS (
-  SELECT point_id, radians(lon) AS rlon, radians(lat) AS rlat,
-         radians(lag(lon) OVER w) AS plon, radians(lag(lat) OVER w) AS plat
-  FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY ts_ms, point_id)
-)
-SELECT point_id,
-  (round(((2.0e0 * asin(sqrt(
-      pow(sin((rlat - plat) / 2.0e0), 2.0e0)
-      + cos(plat) * cos(rlat) * pow(sin((rlon - plon) / 2.0e0), 2.0e0)
-  ))) * 6367000.0e0), 3) + 0e0) AS hav_r
-FROM nbr WHERE plon IS NOT NULL
-"""
-
-
-def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global population-σ z-score of the Mercator coordinates (the
-    reference's trajsimi normalization)."""
-    pts = _points(spark, sf_dir)
-    stats = pts.agg(
-        F.avg("x").alias("mx"), F.stddev_pop("x").alias("sx"),
-        F.avg("y").alias("my"), F.stddev_pop("y").alias("sy"),
-    ).collect()[0]
-    return pts.select(
-        "point_id",
-        _RND((F.col("x") - F.lit(stats.mx)) / F.lit(stats.sx), 6).alias("xz_r"),
-        _RND((F.col("y") - F.lit(stats.my)) / F.lit(stats.sy), 6).alias("yz_r"),
-    )
-
-
-SQL_ZSCORE = f"""
-WITH pts AS ({synth.points_sql('duckdb')})
-SELECT point_id,
-  (round((x - avg(x) OVER ()) / stddev_pop(x) OVER (), 6) + 0e0) AS xz_r,
-  (round((y - avg(y) OVER ()) / stddev_pop(y) OVER (), 6) + 0e0) AS yz_r
-FROM pts
 """
 
 
@@ -896,21 +853,66 @@ FROM documents GROUP BY md5(text)
 """
 
 
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis bundle: token/char counts, the heuristic
+    quality score with its components, and n-gram-marker language ID — one
+    scan of the corpus (consolidates the former token_count /
+    quality_score / lang_id scalar queries, VERDICT r4 #2)."""
+    d = text_ops.with_lang_id(text_ops.with_quality(_docs(spark, sf_dir)))
     return d.select(
         "doc_id",
-        text_ops.word_count(F.col("text")).alias("n_words"),
+        "n_words",
         F.length("text").cast("long").alias("n_chars_live"),
+        _RND("punct_ratio", 6).alias("punct_r"),
+        _RND("avg_word_len", 6).alias("awl_r"),
+        _RND("quality_score", 6).alias("quality_r"),
+        "lang_pred",
     )
 
 
-SQL_TOKEN_COUNT = """
-SELECT doc_id,
-       CAST((length(text) - length(replace(text, ' ', ''))) / 1 AS BIGINT) + 1 AS n_words,
-       CAST(length(text) AS BIGINT) AS n_chars_live
-FROM documents
+def _sql_text_features() -> str:
+    occ = lambda n: f"CAST((length(text) - length(replace(text, '{n}', ''))) / {len(n)} AS BIGINT)"
+    punct = " + ".join(occ(p) for p in text_ops.PUNCT)
+    nw = f"({occ(' ')} + 1)"
+    awl = f"(CAST(length(text) - ({nw} - 1) AS DOUBLE) / CAST({nw} AS DOUBLE))"
+    pr = f"(CAST({punct} AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE))"
+    score = (
+        f"least(CAST({nw} AS DOUBLE) / 64.0e0, 1.0e0) * 0.4e0"
+        f" + CASE WHEN {awl} >= 3.0e0 AND {awl} <= 10.0e0 THEN 0.3e0 ELSE 0.0e0 END"
+        f" + CASE WHEN {pr} > 0.0e0 AND {pr} < 0.1e0 THEN 0.3e0 ELSE 0.0e0 END"
+    )
+    t = "concat(' ', lower(text), ' ')"
+    hit_exprs = {}
+    for lang, markers in text_ops.LANG_MARKERS.items():
+        terms = " + ".join(
+            f"CAST((length({t}) - length(replace({t}, '{m}', ''))) / {len(m)} AS BIGINT)"
+            for m in markers
+        )
+        hit_exprs[lang] = terms
+    langs = sorted(text_ops.LANG_MARKERS)
+    # argmax, ties to alphabetically-first — the >= chain in alpha order
+    case = "CASE "
+    for i, lang in enumerate(langs):
+        conds = " AND ".join(
+            f"h_{lang} >= h_{other}" for other in langs[i + 1 :]
+        )
+        case += f"WHEN {conds or 'TRUE'} THEN '{lang}' "
+    case += "END"
+    mx = f"greatest({', '.join('h_' + l for l in langs)})"
+    hits_sel = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hit_exprs.items())
+    return f"""
+WITH hits AS (SELECT doc_id, text, {hits_sel} FROM documents)
+SELECT doc_id, {nw} AS n_words,
+       CAST(length(text) AS BIGINT) AS n_chars_live,
+       (round({pr}, 6) + 0e0) AS punct_r,
+       (round({awl}, 6) + 0e0) AS awl_r,
+       (round({score}, 6) + 0e0) AS quality_r,
+       CASE WHEN {mx} > 0 THEN {case} ELSE 'und' END AS lang_pred
+FROM hits
 """
+
+
+SQL_TEXT_FEATURES = _sql_text_features()
 
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -988,72 +990,90 @@ GROUP BY doc_id
 """
 
 
-def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = text_ops.with_quality(_docs(spark, sf_dir))
-    return out.select(
-        "doc_id",
-        "n_words",
-        _RND("punct_ratio", 6).alias("punct_r"),
-        _RND("avg_word_len", 6).alias("awl_r"),
-        _RND("quality_score", 6).alias("quality_r"),
+_SDEDUP_BASE = 946684800  # 2000-01-01 UTC — epoch-0 event times are a
+# documented dropDuplicatesWithinWatermark edge (initial watermark treats
+# them as expired), so the replay starts a safe 30 years in
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic two-micro-batch replay of streaming_exact_dedup
+    (streaming/dedup.py): batch 1 = docs 0..299, batch 2 = docs 300..399
+    plus exact repeats of every batch-1 doc with doc_id % 3 == 0.  Each
+    batch is ONE sorted single-partition parquet file, so arrival order —
+    and therefore the first-seen survivor per md5 hash — is deterministic;
+    batch-2 repeats are dropped by cross-batch STATE, the semantics the
+    memory-sink pytest could not show the driver.  Survivors are oracled
+    as rank-1 rows per hash under (batch, ts, doc_id) order in DuckDB."""
+    import tempfile
+    import uuid
+
+    from trajlib_spark.streaming.dedup import streaming_exact_dedup
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    b1 = d.where(F.col("doc_id") < 300).select(
+        "doc_id", "text", (F.lit(_SDEDUP_BASE) + F.col("doc_id")).alias("ts_s")
     )
-
-
-def _sql_quality() -> str:
-    occ = lambda n: f"CAST((length(text) - length(replace(text, '{n}', ''))) / {len(n)} AS BIGINT)"
-    punct = " + ".join(occ(p) for p in text_ops.PUNCT)
-    nw = f"({occ(' ')} + 1)"
-    awl = f"(CAST(length(text) - ({nw} - 1) AS DOUBLE) / CAST({nw} AS DOUBLE))"
-    pr = f"(CAST({punct} AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE))"
-    score = (
-        f"least(CAST({nw} AS DOUBLE) / 64.0e0, 1.0e0) * 0.4e0"
-        f" + CASE WHEN {awl} >= 3.0e0 AND {awl} <= 10.0e0 THEN 0.3e0 ELSE 0.0e0 END"
-        f" + CASE WHEN {pr} > 0.0e0 AND {pr} < 0.1e0 THEN 0.3e0 ELSE 0.0e0 END"
+    b2_new = d.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)).select(
+        "doc_id", "text", (F.lit(_SDEDUP_BASE + 300) + F.col("doc_id")).alias("ts_s")
     )
-    return f"""
-SELECT doc_id, {nw} AS n_words,
-       (round({pr}, 6) + 0e0) AS punct_r,
-       (round({awl}, 6) + 0e0) AS awl_r,
-       (round({score}, 6) + 0e0) AS quality_r
-FROM documents
-"""
+    b2_rep = d.where((F.col("doc_id") < 300) & (F.col("doc_id") % 3 == 0)).select(
+        "doc_id", "text", (F.lit(_SDEDUP_BASE + 600) + F.col("doc_id")).alias("ts_s")
+    )
+    b2 = b2_new.unionAll(b2_rep)
 
+    tmp = tempfile.mkdtemp(prefix="sdedup_")
+    src = os.path.join(tmp, "src")
 
-SQL_QUALITY = _sql_quality()
-
-
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_ops.with_lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
-
-
-def _sql_lang_id() -> str:
-    t = "concat(' ', lower(text), ' ')"
-    hit_exprs = {}
-    for lang, markers in text_ops.LANG_MARKERS.items():
-        terms = " + ".join(
-            f"CAST((length({t}) - length(replace({t}, '{m}', ''))) / {len(m)} AS BIGINT)"
-            for m in markers
+    def emit(batch_df, mode):
+        (
+            batch_df.orderBy("ts_s", "doc_id")
+            .withColumn("ts", F.timestamp_seconds("ts_s"))
+            .drop("ts_s")
+            .coalesce(1)
+            .write.mode(mode)
+            .parquet(src)
         )
-        hit_exprs[lang] = terms
-    langs = sorted(text_ops.LANG_MARKERS)
-    # argmax, ties to alphabetically-first — the >= chain in alpha order
-    case = "CASE "
-    for i, lang in enumerate(langs):
-        conds = " AND ".join(
-            f"h_{lang} >= h_{other}" for other in langs[i + 1 :]
-        )
-        case += f"WHEN {conds or 'TRUE'} THEN '{lang}' "
-    case += "END"
-    mx = f"greatest({', '.join('h_' + l for l in langs)})"
-    hits_sel = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hit_exprs.items())
-    return f"""
-WITH hits AS (SELECT doc_id, {hits_sel} FROM documents)
-SELECT doc_id, CASE WHEN {mx} > 0 THEN {case} ELSE 'und' END AS lang_pred
-FROM hits
+
+    emit(b1, "overwrite")
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src)
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_exact_dedup(stream, ts="ts", text="text", watermark="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # micro-batch 1: intra-batch dedup
+        emit(b2, "append")
+        q.processAllAvailable()  # micro-batch 2: stateful cross-batch dedup
+    finally:
+        q.stop()
+    return spark.table(name).select("doc_id", "text_hash")
+
+
+SQL_STREAMING_DEDUP = f"""
+WITH arrivals AS (
+  SELECT doc_id, text, 1 AS batch, {_SDEDUP_BASE} + doc_id AS ts_s
+  FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id, text, 2, {_SDEDUP_BASE + 300} + doc_id
+  FROM documents WHERE doc_id >= 300 AND doc_id < 400
+  UNION ALL
+  SELECT doc_id, text, 2, {_SDEDUP_BASE + 600} + doc_id
+  FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0
+),
+ranked AS (
+  SELECT doc_id, md5(text) AS text_hash,
+         row_number() OVER (
+           PARTITION BY md5(text) ORDER BY batch, ts_s, doc_id
+         ) AS r
+  FROM arrivals
+)
+SELECT doc_id, text_hash FROM ranked WHERE r = 1
 """
-
-
-SQL_LANG_ID = _sql_lang_id()
 
 
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1087,17 +1107,38 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
-def q_hit_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """hit-ratio@10 between cosine top-10 and L2 top-10 neighbor sets —
-    the reference's hitting_ratio join shape."""
+def q_knn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query kNN quality bundle: the reference's rank metric (count of
+    corpus vectors at L2 distance ≤ the designated true match's) and the
+    per-query hit count between cosine top-10 and L2 top-10 neighbor sets
+    (consolidates the former hit_ratio / rank_metric queries, VERDICT r4
+    #2 — per-query hits are strictly stronger evidence than the single
+    global ratio, and the full L2 ranking is computed once for both)."""
     embs = _embs(spark, sf_dir)
     qs = embs.where(F.col("vec_id") % 50 == 0)
+    d = knn_like_l2_topk(embs, qs, k=10**9)  # full ranking, shared
     cos = ann_ops.cosine_topk(embs, qs, k=10).select("query_id", "neighbor_id")
-    l2 = knn_like_l2_topk(embs, qs, k=10).select("query_id", "neighbor_id")
-    inter = cos.join(l2, ["query_id", "neighbor_id"]).count()
-    n_q = qs.count()
-    return spark.createDataFrame(
-        [(10, (round(inter / (10.0 * n_q), 6) + 0e0))], "k long, hit_ratio double"
+    l2 = d.where(F.col("rank") <= 10).select("query_id", "neighbor_id")
+    hits = cos.join(l2, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("hits10")
+    )
+    target = d.where(F.col("neighbor_id") == F.col("query_id") + 1).select(
+        "query_id", F.col("d2").alias("target_d2")
+    )
+    # the corpus contains exact-duplicate vectors; compare on rounded d2 so
+    # both engines resolve those ties identically despite different
+    # summation orders
+    rank = (
+        d.join(target, "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(_RND("d2", 6) <= _RND("target_d2", 6), 1).otherwise(0)
+            ).alias("rank")
+        )
+    )
+    return rank.join(hits, "query_id", "left").select(
+        "query_id", "rank", F.coalesce("hits10", F.lit(0)).alias("hits10")
     )
 
 
@@ -1120,7 +1161,7 @@ def knn_like_l2_topk(embs: DataFrame, qs: DataFrame, k: int) -> DataFrame:
     )
 
 
-SQL_HIT_RATIO = """
+SQL_KNN_QUALITY = """
 WITH ex AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
          generate_subscripts(embedding, 1) AS i
@@ -1143,62 +1184,31 @@ l2r AS (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id ORDER BY na2 + nb2 - 2 * dot, neighbor_id) AS r
   FROM dots
-)
-SELECT CAST(10 AS BIGINT) AS k,
-       (round(CAST(count(*) AS DOUBLE)
-             / (10.0e0 * (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0)), 6) + 0e0) AS hit_ratio
-FROM (SELECT query_id, neighbor_id FROM cosr WHERE r <= 10) c
-JOIN (SELECT query_id, neighbor_id FROM l2r WHERE r <= 10) l
-USING (query_id, neighbor_id)
-"""
-
-
-def q_rank_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rank of the designated true match (vec_id + 1) per query: count of
-    corpus vectors at L2 distance ≤ the target's (the reference's rank
-    metric join)."""
-    embs = _embs(spark, sf_dir)
-    qs = embs.where(F.col("vec_id") % 50 == 0)
-    d = knn_like_l2_topk(embs, qs, k=10**9)  # full ranking
-    target = d.where(F.col("neighbor_id") == F.col("query_id") + 1).select(
-        "query_id", F.col("d2").alias("target_d2")
-    )
-    # the corpus contains exact-duplicate vectors; compare on rounded d2 so
-    # both engines resolve those ties identically despite different
-    # summation orders
-    out = (
-        d.join(target, "query_id")
-        .groupBy("query_id")
-        .agg(
-            F.sum(
-                F.when(_RND("d2", 6) <= _RND("target_d2", 6), 1).otherwise(0)
-            ).alias("rank")
-        )
-    )
-    return out
-
-
-SQL_RANK_METRIC = """
-WITH ex AS (
-  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-         generate_subscripts(embedding, 1) AS i
-  FROM embeddings
 ),
-dots AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         sum(a.v * a.v) + sum(b.v * b.v) - 2 * sum(a.v * b.v) AS d2
-  FROM ex a JOIN ex b ON a.i = b.i
-  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
-  GROUP BY a.vec_id, b.vec_id
+hits AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS hits10
+  FROM (SELECT query_id, neighbor_id FROM cosr WHERE r <= 10) c
+  JOIN (SELECT query_id, neighbor_id FROM l2r WHERE r <= 10) l
+  USING (query_id, neighbor_id)
+  GROUP BY query_id
 ),
 target AS (
-  SELECT query_id, d2 AS target_d2 FROM dots WHERE neighbor_id = query_id + 1
+  SELECT query_id, na2 + nb2 - 2 * dot AS target_d2
+  FROM dots WHERE neighbor_id = query_id + 1
+),
+rnk AS (
+  SELECT d.query_id,
+         CAST(sum(CASE WHEN (round(d.na2 + d.nb2 - 2 * d.dot, 6) + 0e0)
+                            <= (round(t.target_d2, 6) + 0e0)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS rank
+  FROM dots d JOIN target t ON d.query_id = t.query_id
+  GROUP BY d.query_id
 )
-SELECT d.query_id,
-       CAST(sum(CASE WHEN (round(d.d2, 6) + 0e0) <= (round(t.target_d2, 6) + 0e0) THEN 1 ELSE 0 END) AS BIGINT) AS rank
-FROM dots d JOIN target t ON d.query_id = t.query_id
-GROUP BY d.query_id
+SELECT r.query_id, r.rank, coalesce(h.hits10, 0) AS hits10
+FROM rnk r LEFT JOIN hits h ON r.query_id = h.query_id
 """
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -1236,14 +1246,34 @@ def q_similarity_edwp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("i", "j", _RND("dist", 3).alias("dist_r"))
 
 
-def q_similarity_lcss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = _points(spark, sf_dir).withColumn("fed_id", F.col("traj_id") % 5)
-    polys = simi_ops.collect_polylines(
-        pts.select("traj_id", "fed_id", "ts_ms", "point_id", "x", "y")
-    ).join(pts.select("traj_id", "fed_id").distinct(), "traj_id")
-    normed = simi_ops.normalize_polylines(polys)
-    d = simi_ops.similarity_join(normed, "lcss", eps=0.25, block_col="fed_id")
-    return d.select("i", "j", _RND("dist", 6).alias("dist_r"))
+def q_similarity_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LCSS + EDR (z-scored space, ε=0.25) and Fréchet + Hausdorff (raw
+    space) for every fed-blocked pair in ONE multi-measure pass — the pair
+    table is shuffled and polyline-joined once instead of four times
+    (consolidates the former similarity_lcss / _edr / _frechet /
+    _hausdorff queries, VERDICT r4 #2; same kernels, same pairs, same
+    rounded values)."""
+    both = simi_ops.normalize_polylines(
+        _blocked_polylines(spark, sf_dir), out_cols=("xs_n", "ys_n")
+    )
+    d = simi_ops.multi_measure_join(
+        both,
+        measures={
+            "lcss": ("lcss", 0.25),
+            "edr": ("edr", 0.25),
+            "frechet": ("frechet", 0.0),
+            "hausdorff": ("hausdorff", 0.0),
+        },
+        coord_cols={"lcss": ("xs_n", "ys_n"), "edr": ("xs_n", "ys_n")},
+        block_col="fed_id",
+    )
+    return d.select(
+        "i", "j",
+        _RND("lcss", 6).alias("lcss_r"),
+        _RND("edr", 6).alias("edr_r"),
+        _RND("frechet", 3).alias("frechet_r"),
+        _RND("hausdorff", 3).alias("hausdorff_r"),
+    )
 
 
 def _cluster_input_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1375,14 +1405,6 @@ def _blocked_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polys.join(pts.select("traj_id", "fed_id").distinct(), "traj_id")
 
 
-def q_similarity_edr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EDR on z-scored coordinates, eps=0.25 (dp_distances; the reference's
-    trajsimi EDR config), blocked by fed_id = traj_id % 5."""
-    normed = simi_ops.normalize_polylines(_blocked_polylines(spark, sf_dir))
-    d = simi_ops.similarity_join(normed, "edr", eps=0.25, block_col="fed_id")
-    return d.select("i", "j", _RND("dist", 6).alias("dist_r"))
-
-
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table hyperplane LSH +
     exact Catalyst cosine verify. Random 64-dim vectors never reach
@@ -1415,20 +1437,6 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         embs.unionAll(salted), threshold=0.95
     )
     return out.select("i", "j", _RND("cosine", 6).alias("cosine_r"))
-
-
-def q_similarity_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = simi_ops.similarity_join(
-        _blocked_polylines(spark, sf_dir), "frechet", block_col="fed_id"
-    )
-    return d.select("i", "j", _RND("dist", 3).alias("dist_r"))
-
-
-def q_similarity_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = simi_ops.similarity_join(
-        _blocked_polylines(spark, sf_dir), "hausdorff", block_col="fed_id"
-    )
-    return d.select("i", "j", _RND("dist", 3).alias("dist_r"))
 
 
 def _newsimi_summary(q: DataFrame, db: DataFrame) -> DataFrame:
@@ -1483,26 +1491,24 @@ FROM o WHERE i % 2 = 1 GROUP BY traj_id
 """
 
 
-def q_newsimi_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Downsampled newsimi variant (rate=0.3; preprocessing_porto.py:120-134)."""
+def q_newsimi_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both stochastic newsimi variants — downsample (rate=0.3,
+    preprocessing_porto.py:120-134) and distort (rate=0.3, :151-170) — as
+    one variant-tagged summary table (consolidates the former
+    newsimi_downsample / newsimi_distort queries, VERDICT r4 #2; the
+    polyline collection is shared across variants)."""
     from trajlib_spark.operators import newsimi
 
     polys = simi_ops.collect_polylines(_points(spark, sf_dir))
-    q, db = newsimi.newsimi_datasets(
-        polys, n_query=10, n_db=25, variant="downsample", rate=0.3, salt=0
-    )
-    return _newsimi_summary(q, db)
-
-
-def q_newsimi_distort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distorted newsimi variant (rate=0.3; preprocessing_porto.py:151-170)."""
-    from trajlib_spark.operators import newsimi
-
-    polys = simi_ops.collect_polylines(_points(spark, sf_dir))
-    q, db = newsimi.newsimi_datasets(
-        polys, n_query=10, n_db=25, variant="distort", rate=0.3, salt=0
-    )
-    return _newsimi_summary(q, db)
+    parts = []
+    for variant in ("downsample", "distort"):
+        q, db = newsimi.newsimi_datasets(
+            polys, n_query=10, n_db=25, variant=variant, rate=0.3, salt=0
+        )
+        parts.append(
+            _newsimi_summary(q, db).select(F.lit(variant).alias("variant"), "*")
+        )
+    return parts[0].unionAll(parts[1])
 
 
 def q_measure_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2174,47 +2180,59 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotation policy (VERDICT r3 item 2) for a driver capped at 50 rows:
     # every query's evidence must stay ≤ 1 round old, so the queries whose
-    # latest green row is OLDEST come first — r4 order: (a) the 12 queries
-    # with only r02 rows (the r03 run's cap cut them), (b) queries NEW
-    # this round, (c) queries whose code or oracle CHANGED this round,
-    # (d) unchanged r03-green queries, with the last 15 of those as the
-    # overflow tail (they lose nothing if the cap cuts them: their r03
-    # rows stay exactly one round old).
+    # latest green row is OLDEST come first.  r5 also consolidated the
+    # scalar-expression tail (VERDICT r4 item 2) — 69 queries became 60:
+    # bearing+haversine+zscore_norm → point_derivations, kring+cell_mbr →
+    # cell_geometry, token_count+quality_score+lang_id → text_features,
+    # hit_ratio+rank_metric → knn_quality, newsimi_downsample+_distort →
+    # newsimi_augment, similarity_{lcss,edr,frechet,hausdorff} →
+    # similarity_all (same fixtures, same rounded values, one table each).
+    # r5 order: (a) the 19 queries whose latest row is r03 (the r04 cap
+    # cut them), merged names inheriting their components' staleness;
+    # (b) queries NEW or CHANGED this round; (c) unchanged r04-green
+    # queries, the last ~10 of which the cap may cut (their r04 rows stay
+    # exactly one round old).
     return {
-        # --- (a) latest row is r02 (rotated out by the r03 cap) ---
-        "newsimi_downsample": q_newsimi_downsample,
-        "newsimi_distort": q_newsimi_distort,
-        "bearing": q_bearing,
-        "haversine": q_haversine,
-        "zscore_norm": q_zscore,
-        "kring": q_kring,
-        "cell_mbr": q_cell_mbr,
-        "neighbour_pairs": q_neighbour_pairs,
-        "describe_stats": q_describe,
-        "events_running": q_events_running,
-        "top_customers": q_top_customers,
-        "pricing_summary": q_pricing_summary,
-        # --- (b) new this round ---
-        "walk_skipgrams": q_walk_skipgrams,
-        "matched_edge_graph": q_matched_edge_graph,
-        "ann_ivf_recall": q_ann_ivf_recall,
-        "dedup_components": q_dedup_components,
-        "vocab_topk": q_vocab_topk,
-        "tfidf_topterms": q_tfidf_topterms,
-        "lm_score": q_lm_score,
-        # --- (c) code or oracle changed this round ---
-        "simhash": q_simhash,
-        "video_frames": q_video_frames,
+        # --- (a) latest row is r03 (rotated out by the r04 cap) ---
+        "pages_points": q_pages_points,
+        "porto_clean": q_porto_clean,
+        "porto_points": q_porto_points,
+        "media_real": q_media_real,
+        "media_features": q_media_features,
+        "polygon_adjacency": q_polygon_adjacency,
+        "kinematics": q_kinematics,
+        "dedup_exact": q_dedup_exact,
+        "text_features": q_text_features,
+        "cell_assign": q_cell_assign,
+        "stay_collapse": q_stay_collapse,
+        "points_derive": q_points,
+        "traj_nested": q_traj_nested,
+        "rdp_simplify": q_rdp_simplify,
+        "silhouette": q_silhouette,
+        "knn_quality": q_knn_quality,
+        # --- (b) new or changed this round ---
+        "point_derivations": q_point_derivations,
+        "cell_geometry": q_cell_geometry,
+        "newsimi_augment": q_newsimi_augment,
+        "similarity_all": q_similarity_all,
+        "streaming_dedup": q_streaming_dedup,
         "measure_topk": q_measure_topk,
         "measure_topk_lcss": q_measure_topk_lcss,
         "measure_topk_edwp": q_measure_topk_edwp,
-        "segment_pairs": q_segment_pairs,
-        # --- (d) unchanged, green in r03 ---
+        "lm_score": q_lm_score,
+        "walk_skipgrams": q_walk_skipgrams,
+        # --- (c) unchanged, green in r04 ---
         "map_match": q_map_match,
         "cell_walks": q_cell_walks,
+        "matched_edge_graph": q_matched_edge_graph,
+        "dedup_components": q_dedup_components,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "minhash_lsh": q_minhash_lsh,
         "embedding_near_dups": q_embedding_near_dups,
+        "simhash": q_simhash,
         "doc_fingerprint": q_fingerprint,
+        "vocab_topk": q_vocab_topk,
+        "tfidf_topterms": q_tfidf_topterms,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
         "pip_join": q_pip_join,
@@ -2224,38 +2242,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_features": q_spatial_features,
         "traj_stats": q_traj_stats,
         "segment_cut": q_segment_cut,
+        "segment_pairs": q_segment_pairs,
         "similarity_edwp": q_similarity_edwp,
-        "similarity_lcss": q_similarity_lcss,
-        "similarity_edr": q_similarity_edr,
-        "similarity_frechet": q_similarity_frechet,
-        "similarity_hausdorff": q_similarity_hausdorff,
         "cluster_segments": q_cluster_segments,
         "cluster_merge": q_cluster_merge,
+        "video_frames": q_video_frames,
+        # --- overflow tail (position > 50): all green in r04, unchanged —
+        # a 50-row cap leaves their evidence exactly one round old
         "symmetrize_norm": q_symmetrize_norm,
         "fed_split": q_fed_split,
         "augment_time_shift": q_augment_time_shift,
         "newsimi_raw": q_newsimi_raw,
-        "pages_points": q_pages_points,
-        "porto_clean": q_porto_clean,
-        # --- overflow tail (position > 50): all green in r03, unchanged —
-        # a 50-row cap leaves their evidence exactly one round old
-        "porto_points": q_porto_points,
-        "media_real": q_media_real,
-        "media_features": q_media_features,
-        "polygon_adjacency": q_polygon_adjacency,
-        "kinematics": q_kinematics,
-        "dedup_exact": q_dedup_exact,
-        "token_count": q_token_count,
-        "quality_score": q_quality,
-        "lang_id": q_lang_id,
-        "cell_assign": q_cell_assign,
-        "stay_collapse": q_stay_collapse,
-        "points_derive": q_points,
-        "traj_nested": q_traj_nested,
-        "rdp_simplify": q_rdp_simplify,
-        "silhouette": q_silhouette,
-        "rank_metric": q_rank_metric,
-        "hit_ratio": q_hit_ratio,
+        "neighbour_pairs": q_neighbour_pairs,
+        "describe_stats": q_describe,
+        "events_running": q_events_running,
+        "top_customers": q_top_customers,
+        "pricing_summary": q_pricing_summary,
     }
 
 
@@ -2280,11 +2282,10 @@ def _golden_sql(name: str) -> str:
 
 
 _GOLDEN_QUERIES = (
-    "segment_cut", "rdp_simplify", "similarity_edwp", "similarity_lcss",
-    "similarity_edr", "similarity_frechet", "similarity_hausdorff",
+    "segment_cut", "rdp_simplify", "similarity_edwp", "similarity_all",
     "embedding_near_dups", "measure_topk",
     "silhouette", "cluster_segments", "minhash_lsh",
-    "newsimi_downsample", "newsimi_distort",
+    "newsimi_augment",
     "doc_fingerprint", "ann_ivf", "ann_ivf_recall",
     "media_features", "media_real", "video_frames",
     "cluster_merge", "measure_topk_lcss", "measure_topk_edwp", "map_match",
@@ -2317,17 +2318,13 @@ def _build_sql_oracles() -> dict[str, str]:
         "knn": SQL_KNN,
         "spatial_features": SQL_SPATIAL_FEATURES,
         "kinematics": SQL_KINEMATICS,
-        "bearing": SQL_BEARING,
+        "point_derivations": SQL_POINT_DERIVATIONS,
         "traj_stats": SQL_TRAJ_STATS,
         "segment_pairs": SQL_SEGMENT_PAIRS,
-        "cell_mbr": SQL_CELL_MBR,
-        "kring": SQL_KRING,
+        "cell_geometry": SQL_CELL_GEOMETRY,
         "neighbour_pairs": SQL_NEIGHBOUR_PAIRS,
-        "haversine": SQL_HAVERSINE,
-        "zscore_norm": SQL_ZSCORE,
         "traj_nested": SQL_TRAJ_NESTED,
-        "hit_ratio": SQL_HIT_RATIO,
-        "rank_metric": SQL_RANK_METRIC,
+        "knn_quality": SQL_KNN_QUALITY,
         "fed_split": SQL_FED_SPLIT,
         "describe_stats": SQL_DESCRIBE,
         "augment_time_shift": SQL_AUGMENT_TIME_SHIFT,
@@ -2335,9 +2332,8 @@ def _build_sql_oracles() -> dict[str, str]:
         "top_customers": SQL_TOP_CUSTOMERS,
         "events_running": SQL_EVENTS_RUNNING,
         "dedup_exact": SQL_DEDUP_EXACT,
-        "token_count": SQL_TOKEN_COUNT,
-        "quality_score": SQL_QUALITY,
-        "lang_id": SQL_LANG_ID,
+        "text_features": SQL_TEXT_FEATURES,
+        "streaming_dedup": SQL_STREAMING_DEDUP,
         "ann_cosine": SQL_ANN_COSINE,
         "symmetrize_norm": SQL_SYMMETRIZE_NORM,
         "newsimi_raw": SQL_NEWSIMI_RAW,

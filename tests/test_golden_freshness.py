@@ -21,9 +21,9 @@ GOLD = os.path.join(os.path.dirname(__file__), "golden", "oracle", "sf0.001")
 # pages_points / polygon_adjacency / porto_* left round 3, simhash round 4:
 # they now have LIVE DuckDB SQL oracles instead of committed goldens
 CASES = [
-    "segment_cut", "similarity_lcss", "minhash_lsh", "video_frames",
+    "segment_cut", "similarity_all", "minhash_lsh", "video_frames",
     "ann_ivf", "ann_ivf_recall", "measure_topk_lcss", "media_real",
-    "embedding_near_dups", "newsimi_downsample", "cluster_merge",
+    "embedding_near_dups", "newsimi_augment", "cluster_merge",
 ]
 
 

@@ -341,6 +341,35 @@ def g_similarity_hausdorff(sf_dir: str) -> pd.DataFrame:
     return _pair_frame(sf_dir, hausdorff_distance, 3)
 
 
+def g_similarity_all(sf_dir: str) -> pd.DataFrame:
+    """LCSS + EDR (z-scored, eps=0.25) and Fréchet + Hausdorff (raw) per
+    fed-blocked pair — the merged oracle of the four single-measure
+    queries (VERDICT r4 #2), same kernels and rounding."""
+    from trajlib_spark.kernels.dp_distances import edr_distance_vec
+
+    pts = load_points(sf_dir)
+    mx, sx = pts["x"].mean(), pts["x"].std(ddof=0)
+    my, sy = pts["y"].mean(), pts["y"].std(ddof=0)
+    raw = polylines(pts)
+    norm = {
+        t: np.column_stack([(tr[:, 0] - mx) / sx, (tr[:, 1] - my) / sy])
+        for t, tr in raw.items()
+    }
+    rows = [
+        (
+            i, j,
+            (round(lcss_distance_vec(norm[i], norm[j], 0.25), 6) + 0e0),
+            (round(edr_distance_vec(norm[i], norm[j], 0.25), 6) + 0e0),
+            (round(discrete_frechet(raw[i], raw[j]), 3) + 0e0),
+            (round(hausdorff_distance(raw[i], raw[j]), 3) + 0e0),
+        )
+        for i, j in _block_pairs(list(raw), lambda t: t % 5)
+    ]
+    return pd.DataFrame(
+        rows, columns=["i", "j", "lcss_r", "edr_r", "frechet_r", "hausdorff_r"]
+    ).astype({"i": "int64", "j": "int64"})
+
+
 def g_measure_topk(sf_dir: str, k: int = 5, every: int = 30) -> pd.DataFrame:
     """Brute-force Hausdorff kNN — the oracle for the grid-pruned path."""
     pls = polylines(load_points(sf_dir))
@@ -452,6 +481,18 @@ def g_newsimi_distort(sf_dir: str, rate: float = 0.3, salt: int = 0) -> pd.DataF
         {t: distort(v, t, salt) for t, v in qs.items()},
         {t: distort(v, t, salt + 1) for t, v in dbs.items()},
     )
+
+
+def g_newsimi_augment(sf_dir: str) -> pd.DataFrame:
+    """Variant-tagged union of the downsample + distort summaries (the
+    merged oracle of the two single-variant queries, VERDICT r4 #2)."""
+    parts = []
+    for variant, fn in (("downsample", g_newsimi_downsample),
+                        ("distort", g_newsimi_distort)):
+        f = fn(sf_dir)
+        f.insert(0, "variant", variant)
+        parts.append(f)
+    return pd.concat(parts, ignore_index=True)
 
 
 # --------------------------------------------------------------------------
@@ -934,19 +975,15 @@ GENERATORS = {
     "segment_cut": g_segment_cut,
     "rdp_simplify": g_rdp_simplify,
     "similarity_edwp": g_similarity_edwp,
-    "similarity_lcss": g_similarity_lcss,
-    "similarity_edr": g_similarity_edr,
-    "similarity_frechet": g_similarity_frechet,
+    "similarity_all": g_similarity_all,
     "embedding_near_dups": g_embedding_near_dups,
-    "similarity_hausdorff": g_similarity_hausdorff,
     "measure_topk": g_measure_topk,
     "measure_topk_lcss": g_measure_topk_lcss,
     "measure_topk_edwp": g_measure_topk_edwp,
     "cluster_segments": g_cluster_segments,
     "cluster_merge": g_cluster_merge,
     "silhouette": g_silhouette,
-    "newsimi_downsample": g_newsimi_downsample,
-    "newsimi_distort": g_newsimi_distort,
+    "newsimi_augment": g_newsimi_augment,
     "minhash_lsh": g_minhash_lsh,
     "doc_fingerprint": g_doc_fingerprint,
     "ann_ivf": g_ann_ivf,

@@ -52,8 +52,15 @@ def collect_polylines(
     )
 
 
-def normalize_polylines(polys: DataFrame) -> DataFrame:
-    """Global per-axis z-score with population σ over every point."""
+def normalize_polylines(
+    polys: DataFrame, out_cols: tuple[str, str] = ("xs", "ys")
+) -> DataFrame:
+    """Global per-axis z-score with population σ over every point.
+
+    With the default ``out_cols`` the raw arrays are replaced; pass e.g.
+    ``("xs_n", "ys_n")`` to keep the raw polylines alongside the
+    normalized ones (the multi-measure join feeds ε-match kernels the
+    normalized space and metric kernels the raw space from ONE table)."""
     stats = (
         polys.select(F.explode("xs").alias("vx"))
         .agg(F.avg("vx").alias("mx"), F.stddev_pop("vx").alias("sx"))
@@ -65,10 +72,11 @@ def normalize_polylines(polys: DataFrame) -> DataFrame:
         .collect()[0]
     )
     mx, sx, my, sy = stats.mx, stats.sx, stats_y.my, stats_y.sy
+    keep = [c for c in polys.columns if c not in out_cols]
     return polys.select(
-        *[c for c in polys.columns if c not in ("xs", "ys")],
-        F.transform("xs", lambda v: (v - F.lit(mx)) / F.lit(sx)).alias("xs"),
-        F.transform("ys", lambda v: (v - F.lit(my)) / F.lit(sy)).alias("ys"),
+        *keep,
+        F.transform("xs", lambda v: (v - F.lit(mx)) / F.lit(sx)).alias(out_cols[0]),
+        F.transform("ys", lambda v: (v - F.lit(my)) / F.lit(sy)).alias(out_cols[1]),
     )
 
 
@@ -140,6 +148,73 @@ def similarity_join(
 
     i_type = dict(joined.dtypes)["i"]
     return joined.mapInPandas(run, f"i {i_type}, j {i_type}, dist double")
+
+
+def multi_measure_join(
+    polys: DataFrame,
+    measures: dict[str, tuple[str, float]],
+    coord_cols: dict[str, tuple[str, str]] | None = None,
+    pairs: DataFrame | None = None,
+    id_col: str = "traj_id",
+    block_col: str | None = None,
+) -> DataFrame:
+    """All requested measures for every pair in ONE pass → (i, j, <out>...).
+
+    The reference evaluates each measure in a separate full sweep over the
+    pair space (one preprocessing run per config, /root/reference/fedtraj/
+    utils/preprocessing_porto.py:269-322); here the pair table is built,
+    shuffled, and polyline-joined ONCE, and a single Arrow batch pass runs
+    every kernel per pair — at 100 TB that divides the dominant cost (the
+    two polyline hash joins + the pair shuffle) by the number of measures.
+
+    ``measures``: out_col → (measure_name, eps).  ``coord_cols``:
+    out_col → (xs_col, ys_col) when a measure reads a different coordinate
+    space (e.g. z-scored arrays for LCSS/EDR, raw for Fréchet/Hausdorff);
+    defaults to ("xs", "ys")."""
+    coord_cols = coord_cols or {}
+    for out, (m, _e) in measures.items():
+        if m not in _KERNELS:
+            raise ValueError(f"unknown measure {m!r} for {out!r}")
+    arr_cols = sorted({c for out in measures for c in coord_cols.get(out, ("xs", "ys"))})
+    if pairs is None:
+        pairs = pair_table(polys.select(id_col, *( [block_col] if block_col else [] )),
+                           id_col, block_col)
+    left = polys.select(
+        F.col(id_col).alias("i"), *[F.col(c).alias(f"{c}_i") for c in arr_cols]
+    )
+    right = polys.select(
+        F.col(id_col).alias("j"), *[F.col(c).alias(f"{c}_j") for c in arr_cols]
+    )
+    joined = pairs.select("i", "j").join(left, "i").join(right, "j")
+    # per-PAIR python kernels: respread explicitly (AQE coalesces by bytes
+    # and would serialize a few-MB pair table onto 1-2 cores)
+    joined = joined.repartition(
+        joined.sparkSession.sparkContext.defaultParallelism, "i", "j"
+    )
+    specs = [
+        (out, _KERNELS[m], eps, coord_cols.get(out, ("xs", "ys")))
+        for out, (m, eps) in measures.items()
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"i": pdf["i"], "j": pdf["j"]}
+            cols = {c: pdf[c].to_numpy() for c in pdf.columns if c not in ("i", "j")}
+            for name, kern, eps, (xc, yc) in specs:
+                dists = np.empty(len(pdf))
+                xi, yi = cols[f"{xc}_i"], cols[f"{yc}_i"]
+                xj, yj = cols[f"{xc}_j"], cols[f"{yc}_j"]
+                for r in range(len(pdf)):
+                    t1 = np.column_stack([xi[r], yi[r]])
+                    t2 = np.column_stack([xj[r], yj[r]])
+                    dists[r] = kern(t1, t2, eps)
+                out[name] = dists
+            yield pd.DataFrame(out)
+
+    i_type = dict(joined.dtypes)["i"]
+    schema = ", ".join([f"i {i_type}", f"j {i_type}"]
+                       + [f"{name} double" for name in measures])
+    return joined.mapInPandas(run, schema)
 
 
 def _score_pairs(
