@@ -1,3 +1,5 @@
+
+
 """Driver contract for the spark-graft builder (PySpark target).
 
 EVERY ``queries()`` entry has an ``oracle_sql()`` entry — 60/60:
@@ -14,13 +16,19 @@ EVERY ``queries()`` entry has an ``oracle_sql()`` entry — 60/60:
   definition changes.
 """
 
+
 from __future__ import annotations
 
+
 import os
+
 from collections.abc import Callable
 
+
 from pyspark.sql import DataFrame, SparkSession
+
 from pyspark.sql import functions as F
+
 
 from trajlib_spark.config import (
     DIST_FEATURE_SCALE,
@@ -33,25 +41,89 @@ from trajlib_spark.config import (
     PORTO_GRID,
     SESSION_GAP_S,
 )
+
 from trajlib_spark.operators import ann as ann_ops
+
 from trajlib_spark.operators import cells as cell_ops
+
 from trajlib_spark.operators import cluster as cluster_ops
+
 from trajlib_spark.operators import dedup as dedup_ops
+
 from trajlib_spark.operators import extract as extract_ops
+
 from trajlib_spark.operators import features as feat_ops
+
 from trajlib_spark.operators import knn as knn_ops
+
 from trajlib_spark.operators import raster as raster_ops
+
 from trajlib_spark.operators import segment as segment_ops
+
 from trajlib_spark.operators import similarity as simi_ops
+
 from trajlib_spark.operators import spatial_join as sj_ops
+
 from trajlib_spark.operators import staypoints as stay_ops
+
 from trajlib_spark.operators import text as text_ops
+
 from trajlib_spark.sources import pages as pages_src
+
 from trajlib_spark.sources import synth
+
 from trajlib_spark.sources.synth import dlit
+from trajlib_spark.oracles import (
+    _PORTO_CSV,  # noqa: E501 — DuckDB oracle SQL (VERDICT r4 item 8 split)
+    SQL_ANN_COSINE,
+    SQL_AUGMENT_TIME_SHIFT,
+    SQL_CELL_ASSIGN,
+    SQL_CELL_GEOMETRY,
+    SQL_CELL_WALKS,
+    SQL_DEDUP_EXACT,
+    SQL_DESCRIBE,
+    SQL_EVENTS_RUNNING,
+    SQL_FED_SPLIT,
+    SQL_KINEMATICS,
+    SQL_KNN,
+    SQL_KNN_QUALITY,
+    SQL_LM_SCORE,
+    SQL_NEIGHBOUR_PAIRS,
+    SQL_NEWSIMI_RAW,
+    SQL_PIP_JOIN,
+    SQL_POINTS,
+    SQL_POINT_DERIVATIONS,
+    SQL_PORTO_CLEAN,
+    SQL_PORTO_POINTS,
+    SQL_PRICING_SUMMARY,
+    SQL_SEGMENT_PAIRS,
+    SQL_SESSIONIZE,
+    SQL_SIMHASH,
+    SQL_SPATIAL_FEATURES,
+    SQL_STAY_COLLAPSE,
+    SQL_STREAMING_DEDUP,
+    SQL_SYMMETRIZE_NORM,
+    SQL_TEXT_FEATURES,
+    SQL_TFIDF_TOPTERMS,
+    SQL_TILE_PYRAMID,
+    SQL_TOP_CUSTOMERS,
+    SQL_TRAJ_NESTED,
+    SQL_TRAJ_STATS,
+    SQL_VOCAB_TOPK,
+    SQL_WALK_SKIPGRAMS,
+    _SDEDUP_BASE,
+    _golden_sql,
+    _polygon_adjacency_sql,
+    _sql_dedup_components,
+    _sql_matched_edge_graph,
+    sql_pages_points,
+)
+
 
 G = PORTO_GRID
+
 _L = dlit
+
 
 
 def _RND(col, n):
@@ -66,6 +138,7 @@ def _RND(col, n):
     return F.round(col, n) + F.lit(0.0)
 
 
+
 # ---------------------------------------------------------------------------
 # shared helpers
 # ---------------------------------------------------------------------------
@@ -74,43 +147,20 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synth.synthetic_points(spark, sf_dir)
 
 
+
 def _points_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell_ops.with_cell(_points(spark, sf_dir), G)
+
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
-
-# DuckDB CTE: synthetic points with cell assignment (mirrors operators.cells)
-def _cells_sql() -> str:
-    inb = (
-        f"(x >= {_L(G.x_min)} AND x <= {_L(G.x_max)} "
-        f"AND y >= {_L(G.y_min)} AND y <= {_L(G.y_max)})"
-    )
-    cx, cy = G.center
-    return f"""
-SELECT point_id, traj_id, ts_ms, x, y, i_x, i_y,
-       i_x * {G.y_size} + i_y AS cell_id
-FROM (
-  SELECT point_id, traj_id, ts_ms, x, y,
-         CAST(floor(floor(cxx - {_L(G.x_min)}) / {_L(G.x_unit)}) AS BIGINT) AS i_x,
-         CAST(floor(floor(cyy - {_L(G.y_min)}) / {_L(G.y_unit)}) AS BIGINT) AS i_y
-  FROM (
-    SELECT point_id, traj_id, ts_ms, x, y,
-           CASE WHEN {inb} THEN x ELSE {_L(cx)} END AS cxx,
-           CASE WHEN {inb} THEN y ELSE {_L(cy)} END AS cyy
-    FROM pts
-  ) clamped
-) idx
-"""
-
-
-_PRELUDE = f"WITH pts AS ({synth.points_sql('duckdb')}), cells AS ({_cells_sql()})"
 
 
 # ---------------------------------------------------------------------------
@@ -127,19 +177,10 @@ def q_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_POINTS = f"""
-WITH pts AS ({synth.points_sql('duckdb')})
-SELECT point_id, traj_id, ts_ms,
-       (round(lon, 6) + 0e0) AS lon_r, (round(lat, 6) + 0e0) AS lat_r
-FROM pts
-"""
-
 
 def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _points_cells(spark, sf_dir).select("point_id", "i_x", "i_y", "cell_id")
 
-
-SQL_CELL_ASSIGN = f"{_PRELUDE}\nSELECT point_id, i_x, i_y, cell_id FROM cells"
 
 
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,26 +188,6 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zoom").cast("long").alias("zoom"), "i_x", "i_y", "cell_id", "cnt"
     )
 
-
-def _sql_tile_pyramid() -> str:
-    lvls = []
-    for z in (0, 1, 2, 3):
-        gz = G.at_zoom(z)
-        d = float(2 ** z)
-        lvls.append(f"""
-SELECT CAST({z} AS BIGINT) AS zoom, i_x, i_y,
-       i_x * {gz.y_size} + i_y AS cell_id, cnt
-FROM (
-  SELECT CAST(floor(CAST(bi_x AS DOUBLE) / {_L(d)}) AS BIGINT) AS i_x,
-         CAST(floor(CAST(bi_y AS DOUBLE) / {_L(d)}) AS BIGINT) AS i_y,
-         count(*) AS cnt
-  FROM (SELECT i_x AS bi_x, i_y AS bi_y FROM cells) b
-  GROUP BY 1, 2
-) z{z}""")
-    return _PRELUDE + "\n" + "\nUNION ALL\n".join(lvls)
-
-
-SQL_TILE_PYRAMID = _sql_tile_pyramid()
 
 
 def q_stay_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,18 +198,6 @@ def q_stay_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "traj_id", F.col("seq").cast("long").alias("seq"), "point_id", "cell_id"
     )
 
-
-SQL_STAY_COLLAPSE = f"""{_PRELUDE},
-flagged AS (
-  SELECT *, lag(cell_id) OVER (PARTITION BY traj_id ORDER BY ts_ms, point_id) AS prev_cell
-  FROM cells
-),
-kept AS (SELECT * FROM flagged WHERE prev_cell IS NULL OR cell_id <> prev_cell)
-SELECT traj_id,
-       CAST(row_number() OVER (PARTITION BY traj_id ORDER BY ts_ms, point_id) - 1 AS BIGINT) AS seq,
-       point_id, cell_id
-FROM kept
-"""
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,26 +212,6 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SESSIONIZE = f"""
-WITH pts AS ({synth.points_sql('duckdb')}),
-gaps AS (
-  SELECT traj_id, point_id, ts_ms,
-         CASE WHEN ts_ms - lag(ts_ms) OVER w > {SESSION_GAP_S * 1000} THEN 1 ELSE 0 END AS brk
-  FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY ts_ms, point_id)
-),
-sess AS (
-  SELECT traj_id, point_id, ts_ms,
-         sum(brk) OVER (PARTITION BY traj_id ORDER BY ts_ms, point_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
-  FROM gaps
-)
-SELECT traj_id, CAST(session_idx AS BIGINT) AS session_idx,
-       count(*) AS n_points, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
-FROM sess
-GROUP BY traj_id, session_idx
-HAVING count(*) >= 2
-"""
-
 
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     polys = synth.synthetic_polygons(spark, sf_dir)
@@ -230,15 +219,6 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _points_cells(spark, sf_dir), polys, G, point_cols=["point_id"]
     ).select("point_id", "geo_id")
 
-
-SQL_PIP_JOIN = f"""
-WITH pts AS ({synth.points_sql('duckdb')}),
-edges AS ({synth.polygon_edges_sql()})
-SELECT p.point_id, e.geo_id
-FROM pts p JOIN edges e ON TRUE
-GROUP BY p.point_id, e.geo_id
-HAVING sum(CASE WHEN {synth.pip_crossing_case('p.x', 'p.y', 'e')} THEN 1 ELSE 0 END) % 2 = 1
-"""
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,20 +229,6 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     )
 
-
-SQL_KNN = f"""
-WITH pts AS ({synth.points_sql('duckdb')}),
-q AS (SELECT * FROM pts WHERE point_id % 97 = 0)
-SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
-  SELECT q.point_id AS query_id, p.point_id AS neighbor_id,
-         row_number() OVER (
-           PARTITION BY q.point_id
-           ORDER BY (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y), p.point_id
-         ) AS rank
-  FROM q JOIN pts p ON p.point_id <> q.point_id
-) ranked
-WHERE rank <= 5
-"""
 
 
 def q_spatial_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,28 +244,6 @@ def q_spatial_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SPATIAL_FEATURES = f"""
-WITH pts AS ({synth.points_sql('duckdb')}),
-nbr AS (
-  SELECT point_id, x, y,
-         lag(x) OVER w AS xp, lag(y) OVER w AS yp,
-         lead(x) OVER w AS xn, lead(y) OVER w AS yn
-  FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY ts_ms, point_id)
-)
-SELECT point_id,
-  (round((x - {_L(G.x_min)}) / {_L(G.x_max - G.x_min)}, 6) + 0e0) AS x_norm_r,
-  (round((y - {_L(G.y_min)}) / {_L(G.y_max - G.y_min)}, 6) + 0e0) AS y_norm_r,
-  (round(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL THEN
-    ((sqrt((x - xp) * (x - xp) + (y - yp) * (y - yp))
-      + sqrt((xn - x) * (xn - x) + (yn - y) * (yn - y))) / 2.0e0) / {_L(DIST_FEATURE_SCALE)}
-    ELSE 0.0e0 END, 6) + 0e0) AS dist_r,
-  (round(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL THEN
-    1.0e0 - abs({_L(3.141592653589793)} - atan2(xp - x, yp - y) + atan2(xn - x, yn - y))
-      / {_L(3.141592653589793)}
-    ELSE 0.0e0 END, 6) + 0e0) AS radian_r
-FROM nbr
-"""
-
 
 def q_kinematics(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = feat_ops.kinematics(_points(spark, sf_dir))
@@ -311,31 +255,6 @@ def q_kinematics(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RND("accel_mps2", 4).alias("accel_r"),
     )
 
-
-SQL_KINEMATICS = f"""
-WITH pts AS ({synth.points_sql('duckdb')}),
-nbr AS (
-  SELECT point_id, traj_id, ts_ms, x, y,
-         lag(x) OVER w AS xp, lag(y) OVER w AS yp, lag(ts_ms) OVER w AS tp
-  FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY ts_ms, point_id)
-),
-sp AS (
-  SELECT point_id, traj_id, ts_ms, x, y, xp, yp, tp,
-         (ts_ms - tp) / 1000.0e0 AS dt_s,
-         CASE WHEN (ts_ms - tp) / 1000.0e0 > 0
-              THEN sqrt((x - xp) * (x - xp) + (y - yp) * (y - yp))
-                   / ((ts_ms - tp) / 1000.0e0) END AS speed
-  FROM nbr
-)
-SELECT point_id,
-  (round(sqrt((x - xp) * (x - xp) + (y - yp) * (y - yp)), 3) + 0e0) AS step_r,
-  (round(speed, 4) + 0e0) AS speed_r,
-  (round(atan2(y - yp, x - xp), 3) + 0e0) AS bearing_r,
-  (round(CASE WHEN dt_s > 0
-        THEN (speed - lag(speed) OVER (PARTITION BY traj_id ORDER BY ts_ms, point_id)) / dt_s
-        END, 4) + 0e0) AS accel_r
-FROM sp
-"""
 
 
 def q_point_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,35 +283,6 @@ def q_point_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_POINT_DERIVATIONS = f"""
-WITH pts AS ({synth.points_sql('duckdb')}),
-nbr AS (
-  SELECT point_id, x, y, lon, lat,
-         lag(lon) OVER w AS lp, lag(lat) OVER w AS lt,
-         radians(lon) AS rlon, radians(lat) AS rlat,
-         radians(lag(lon) OVER w) AS plon, radians(lag(lat) OVER w) AS plat
-  FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY ts_ms, point_id)
-),
-st AS (
-  SELECT avg(x) AS mx, stddev_pop(x) AS sx, avg(y) AS my, stddev_pop(y) AS sy
-  FROM pts
-)
-SELECT point_id,
-  (round(CASE
-    WHEN lon - lp = 0 AND lat - lt >= 0 THEN {_L(1.5707963267948966)}
-    WHEN lon - lp = 0 THEN {_L(4.71238898038469)}
-    WHEN lon - lp < 0 THEN atan((lat - lt) / (lon - lp)) + {_L(3.141592653589793)}
-    WHEN lat - lt < 0 THEN atan((lat - lt) / (lon - lp)) + {_L(6.283185307179586)}
-    ELSE atan((lat - lt) / (lon - lp)) END, 3) + 0e0) AS bearing_ref,
-  (round(((2.0e0 * asin(sqrt(
-      pow(sin((rlat - plat) / 2.0e0), 2.0e0)
-      + cos(plat) * cos(rlat) * pow(sin((rlon - plon) / 2.0e0), 2.0e0)
-  ))) * 6367000.0e0), 3) + 0e0) AS hav_r,
-  (round((x - mx) / sx, 6) + 0e0) AS xz_r,
-  (round((y - my) / sy, 6) + 0e0) AS yz_r
-FROM nbr, st
-"""
-
 
 def q_traj_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = feat_ops.traj_stats(_points(spark, sf_dir))
@@ -405,32 +295,6 @@ def q_traj_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RND("travel_time_s", 1).alias("tt_r"),
     )
 
-
-SQL_TRAJ_STATS = f"""
-WITH pts AS ({synth.points_sql('duckdb')}),
-stepped AS (
-  SELECT traj_id, point_id, ts_ms, x, y,
-         sqrt((x - lag(x) OVER w) * (x - lag(x) OVER w)
-              + (y - lag(y) OVER w) * (y - lag(y) OVER w)) AS step,
-         row_number() OVER w AS rn,
-         count(*) OVER (PARTITION BY traj_id) AS n
-  FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY ts_ms, point_id)
-),
-agg AS (
-  SELECT traj_id, count(*) AS n_points,
-         coalesce(sum(step), 0.0e0) AS path_m,
-         min(ts_ms) AS t0, max(ts_ms) AS t1,
-         arg_min(x, rn) AS x0, arg_min(y, rn) AS y0,
-         arg_max(x, rn) AS x1, arg_max(y, rn) AS y1
-  FROM stepped GROUP BY traj_id
-)
-SELECT traj_id, n_points, (round(path_m, 2) + 0e0) AS path_r,
-       (round(sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)), 2) + 0e0) AS chord_r,
-       (round(CASE WHEN sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)) > 0
-             THEN path_m / sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)) END, 4) + 0e0) AS sinuosity_r,
-       (round((t1 - t0) / 1000.0e0, 1) + 0e0) AS tt_r
-FROM agg
-"""
 
 
 def q_segment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,38 +313,6 @@ def q_segment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RND(d1 + d2, 3).alias("d_r"),
     )
 
-
-SQL_SEGMENT_PAIRS = f"""
-WITH pts AS ({synth.points_sql('duckdb')}),
-stepped AS (
-  SELECT traj_id, x, y, row_number() OVER (PARTITION BY traj_id ORDER BY ts_ms, point_id) AS rn
-  FROM pts
-),
-ends AS (
-  SELECT traj_id, traj_id % 5 AS fed_id,
-         arg_min(x, rn) AS sx, arg_min(y, rn) AS sy,
-         arg_max(x, rn) AS ex, arg_max(y, rn) AS ey
-  FROM stepped GROUP BY traj_id
-),
-pairs AS (
-  SELECT a.traj_id AS i, b.traj_id AS j,
-         sqrt((b.sx - a.sx) * (b.sx - a.sx) + (b.sy - a.sy) * (b.sy - a.sy))
-         + sqrt((b.ex - a.ex) * (b.ex - a.ex) + (b.ey - a.ey) * (b.ey - a.ey)) AS d1,
-         atan2(a.ey - a.sy, a.ex - a.sx) AS ang_a,
-         atan2(b.ey - b.sy, b.ex - b.sx) AS ang_b,
-         sqrt((a.ex - a.sx) * (a.ex - a.sx) + (a.ey - a.sy) * (a.ey - a.sy)) AS len_a,
-         sqrt((b.ex - b.sx) * (b.ex - b.sx) + (b.ey - b.sy) * (b.ey - b.sy)) AS len_b
-  FROM ends a JOIN ends b ON a.fed_id = b.fed_id AND a.traj_id < b.traj_id
-)
-SELECT i, j, (round(d1, 3) + 0e0) AS d1_r,
-  (round(abs(sin(CASE WHEN abs(ang_a - ang_b) > {_L(3.141592653589793)}
-                THEN {_L(6.283185307179586)} - abs(ang_a - ang_b)
-                ELSE abs(ang_a - ang_b) END)) * greatest(len_a, len_b), 3) + 0e0) AS d2_r,
-  (round(d1 + abs(sin(CASE WHEN abs(ang_a - ang_b) > {_L(3.141592653589793)}
-                THEN {_L(6.283185307179586)} - abs(ang_a - ang_b)
-                ELSE abs(ang_a - ang_b) END)) * greatest(len_a, len_b), 3) + 0e0) AS d_r
-FROM pairs
-"""
 
 
 def _segment_pair_d(spark: SparkSession, sf_dir: str):
@@ -525,6 +357,7 @@ def _segment_pair_d(spark: SparkSession, sf_dir: str):
     return j, d1, d2
 
 
+
 def q_symmetrize_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(S + Sᵀ) / max over the segment-pair distances — the reference's
     symmetrize + global-max normalization (simi_trainer.py:197-200)."""
@@ -537,43 +370,6 @@ def q_symmetrize_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = simi_ops.symmetrize_normalize(dists)
     return out.select("i", "j", _RND("dist", 6).alias("dist_norm_r"))
 
-
-_SQL_SYM_PAIRS_BODY = f"""
-stepped AS (
-  SELECT traj_id, x, y, row_number() OVER (PARTITION BY traj_id ORDER BY ts_ms, point_id) AS rn
-  FROM pts
-),
-ends AS (
-  SELECT traj_id, traj_id % 5 AS fed_id,
-         arg_min(x, rn) AS sx, arg_min(y, rn) AS sy,
-         arg_max(x, rn) AS ex, arg_max(y, rn) AS ey
-  FROM stepped GROUP BY traj_id
-),
-pairs AS (
-  SELECT a.traj_id AS i, b.traj_id AS j,
-         sqrt((b.sx - a.sx) * (b.sx - a.sx) + (b.sy - a.sy) * (b.sy - a.sy))
-         + sqrt((b.ex - a.ex) * (b.ex - a.ex) + (b.ey - a.ey) * (b.ey - a.ey)) AS d1,
-         atan2(a.ey - a.sy, a.ex - a.sx) AS ang_a,
-         atan2(b.ey - b.sy, b.ex - b.sx) AS ang_b,
-         sqrt((a.ex - a.sx) * (a.ex - a.sx) + (a.ey - a.sy) * (a.ey - a.sy)) AS len_a,
-         sqrt((b.ex - b.sx) * (b.ex - b.sx) + (b.ey - b.sy) * (b.ey - b.sy)) AS len_b
-  FROM ends a JOIN ends b ON a.fed_id = b.fed_id AND a.traj_id < b.traj_id
-),
-d AS (
-  SELECT i, j,
-         d1 + abs(sin(CASE WHEN abs(ang_a - ang_b) > {_L(3.141592653589793)}
-                  THEN {_L(6.283185307179586)} - abs(ang_a - ang_b)
-                  ELSE abs(ang_a - ang_b) END)) * greatest(len_a, len_b) AS dist
-  FROM pairs
-),
-sym AS (SELECT i, j, dist FROM d UNION ALL SELECT j AS i, i AS j, dist FROM d)
-"""
-
-SQL_SYMMETRIZE_NORM = f"""
-WITH pts AS ({synth.points_sql('duckdb')}),
-{_SQL_SYM_PAIRS_BODY.strip().rstrip()}
-SELECT i, j, (round(dist / max(dist) OVER (), 6) + 0e0) AS dist_norm_r FROM sym
-"""
 
 
 def q_cell_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,45 +391,11 @@ def q_cell_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_CELL_GEOMETRY = f"""{_PRELUDE}
-SELECT DISTINCT cell_id,
-  (least(i_x + 2, {G.x_size - 1}) - greatest(i_x - 2, 0) + 1)
-  * (least(i_y + 2, {G.y_size - 1}) - greatest(i_y - 2, 0) + 1) AS ring_cells,
-  (round({_L(G.x_min)} + {_L(G.x_unit)} * i_x, 2) + 0e0) AS x_lo_r,
-  (round({_L(G.y_min)} + {_L(G.y_unit)} * i_y, 2) + 0e0) AS y_lo_r,
-  (round(({_L(G.x_min)} + {_L(G.x_unit)} * i_x) + {_L(G.x_unit)}, 2) + 0e0) AS x_hi_r,
-  (round(({_L(G.y_min)} + {_L(G.y_unit)} * i_y) + {_L(G.y_unit)}, 2) + 0e0) AS y_hi_r
-FROM cells
-"""
-
 
 def q_neighbour_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full adjacent-cell-pair enumeration (cell graph edges)."""
     return cell_ops.neighbour_cell_pairs(spark, G)
 
-
-def _sql_neighbour_pairs() -> str:
-    xs, ys = G.x_size, G.y_size
-    base = f"""
-grid AS (
-  SELECT gx.ix AS i_x, gy.iy AS i_y
-  FROM generate_series(0, {xs - 1}) gx(ix), generate_series(0, {ys - 1}) gy(iy)
-)"""
-    sweeps = []
-    for dx, dy in ((0, 1), (1, 0), (1, 1), (1, -1)):
-        cond = []
-        if dx:
-            cond.append(f"i_x + {dx} BETWEEN 0 AND {xs - 1}")
-        cond.append(f"i_y + {dy} BETWEEN 0 AND {ys - 1}")
-        sweeps.append(
-            f"SELECT CAST(i_x * {ys} + i_y AS BIGINT) AS src_cell, "
-            f"CAST((i_x + {dx}) * {ys} + (i_y + {dy}) AS BIGINT) AS dst_cell "
-            f"FROM grid WHERE {' AND '.join(cond)}"
-        )
-    return "WITH " + base + "\n" + "\nUNION ALL\n".join(sweeps)
-
-
-SQL_NEIGHBOUR_PAIRS = _sql_neighbour_pairs()
 
 
 def q_cell_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,47 +411,6 @@ def q_cell_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts = _points_cells(spark, sf_dir).select("cell_id").distinct()
     return walks_ops.node2vec_walks(pairs, starts, walk_length=12, walks_per_node=2)
 
-
-def _sql_cell_walks(walk_length: int = 12, wpn: int = 2) -> str:
-    from trajlib_spark.operators.walks import _HASH_A, _HASH_B, _HASH_C, _HASH_M
-
-    np_sql = _sql_neighbour_pairs()  # complete WITH-query; embed as subquery
-    steps = []
-    sel = ["SELECT walk_id, CAST(0 AS BIGINT) AS pos, cur AS cell_id FROM f0"]
-    for s in range(1, walk_length):
-        h = f"((f{s-1}.walk_id * {_HASH_A} + {s * _HASH_B + _HASH_C}) % {_HASH_M})"
-        steps.append(
-            f"f{s} AS (SELECT f{s-1}.walk_id, a.dst AS cur FROM f{s-1} "
-            f"JOIN adj a ON a.src = f{s-1}.cur AND a.ordinal = {h} % a.degree)"
-        )
-        sel.append(f"SELECT walk_id, CAST({s} AS BIGINT), cur FROM f{s}")
-    steps_sql = ",\n".join(steps)
-    union_sql = " UNION ALL ".join(sel)
-    return f"""
-{_PRELUDE},
-np AS ({np_sql}),
-und AS (
-  SELECT src_cell AS src, dst_cell AS dst FROM np
-  UNION ALL
-  SELECT dst_cell, src_cell FROM np
-),
-adj AS (
-  SELECT src, dst,
-         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS ordinal,
-         count(*) OVER (PARTITION BY src) AS degree
-  FROM und
-),
-starts AS (SELECT DISTINCT cell_id FROM cells),
-f0 AS (
-  SELECT s.cell_id * {wpn} + v.w AS walk_id, s.cell_id AS cur
-  FROM starts s, (SELECT unnest(range({wpn})) AS w) v
-),
-{steps_sql}
-{union_sql}
-"""
-
-
-SQL_CELL_WALKS = _sql_cell_walks()
 
 
 def q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,15 +428,6 @@ def q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
-SQL_WALK_SKIPGRAMS = f"""
-WITH walks AS ({SQL_CELL_WALKS})
-SELECT a.cell_id AS center_cell, b.cell_id AS context_cell,
-       count(*) AS n_pairs
-FROM walks a JOIN walks b
-  ON a.walk_id = b.walk_id AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 10
-GROUP BY 1, 2
-"""
-
 
 def q_traj_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-polyline view (cal_all_trajs) summarized to scalars."""
@@ -730,19 +442,6 @@ def q_traj_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RND(F.element_at("lat_list", -1), 6).alias("tail_lat_r"),
     )
 
-
-SQL_TRAJ_NESTED = f"""
-WITH pts AS ({synth.points_sql('duckdb')}),
-rn AS (
-  SELECT traj_id, lon, lat,
-         row_number() OVER (PARTITION BY traj_id ORDER BY ts_ms, point_id) AS r
-  FROM pts
-)
-SELECT traj_id, count(*) AS n_points,
-       (round(arg_min(lon, r), 6) + 0e0) AS head_lon_r,
-       (round(arg_max(lat, r), 6) + 0e0) AS tail_lat_r
-FROM rn GROUP BY traj_id
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -770,19 +469,6 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-SQL_PRICING_SUMMARY = """
-SELECT l_returnflag, l_linestatus,
-       (round(sum(l_quantity), 2) + 0e0) AS sum_qty,
-       (round(sum(l_extendedprice), 2) + 0e0) AS sum_base_price,
-       (round(sum(l_extendedprice * (1.0e0 - l_discount)), 2) + 0e0) AS sum_disc_price,
-       (round(avg(l_quantity), 4) + 0e0) AS avg_qty,
-       (round(avg(l_discount), 6) + 0e0) AS avg_disc,
-       count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
-"""
-
 
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join (customer ⋈ nation broadcast, orders shuffle) + agg +
@@ -804,16 +490,6 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-SQL_TOP_CUSTOMERS = """
-SELECT c_custkey, n_name, (round(sum(o_totalprice), 2) + 0e0) AS revenue,
-       count(*) AS n_orders
-FROM orders JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-GROUP BY c_custkey, n_name
-ORDER BY revenue DESC, c_custkey
-LIMIT 25
-"""
-
 
 def q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running value sum ordered by time — the window-analytics
@@ -834,23 +510,10 @@ def q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EVENTS_RUNNING = """
-SELECT event_id, user_id,
-       (round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) + 0e0)
-         AS running_value
-FROM events
-"""
-
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.exact_duplicates(_docs(spark, sf_dir))
 
-
-SQL_DEDUP_EXACT = """
-SELECT md5(text) AS text_hash, min(doc_id) AS keeper, count(*) AS n_dups
-FROM documents GROUP BY md5(text)
-"""
 
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -870,50 +533,6 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_text_features() -> str:
-    occ = lambda n: f"CAST((length(text) - length(replace(text, '{n}', ''))) / {len(n)} AS BIGINT)"
-    punct = " + ".join(occ(p) for p in text_ops.PUNCT)
-    nw = f"({occ(' ')} + 1)"
-    awl = f"(CAST(length(text) - ({nw} - 1) AS DOUBLE) / CAST({nw} AS DOUBLE))"
-    pr = f"(CAST({punct} AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE))"
-    score = (
-        f"least(CAST({nw} AS DOUBLE) / 64.0e0, 1.0e0) * 0.4e0"
-        f" + CASE WHEN {awl} >= 3.0e0 AND {awl} <= 10.0e0 THEN 0.3e0 ELSE 0.0e0 END"
-        f" + CASE WHEN {pr} > 0.0e0 AND {pr} < 0.1e0 THEN 0.3e0 ELSE 0.0e0 END"
-    )
-    t = "concat(' ', lower(text), ' ')"
-    hit_exprs = {}
-    for lang, markers in text_ops.LANG_MARKERS.items():
-        terms = " + ".join(
-            f"CAST((length({t}) - length(replace({t}, '{m}', ''))) / {len(m)} AS BIGINT)"
-            for m in markers
-        )
-        hit_exprs[lang] = terms
-    langs = sorted(text_ops.LANG_MARKERS)
-    # argmax, ties to alphabetically-first — the >= chain in alpha order
-    case = "CASE "
-    for i, lang in enumerate(langs):
-        conds = " AND ".join(
-            f"h_{lang} >= h_{other}" for other in langs[i + 1 :]
-        )
-        case += f"WHEN {conds or 'TRUE'} THEN '{lang}' "
-    case += "END"
-    mx = f"greatest({', '.join('h_' + l for l in langs)})"
-    hits_sel = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hit_exprs.items())
-    return f"""
-WITH hits AS (SELECT doc_id, text, {hits_sel} FROM documents)
-SELECT doc_id, {nw} AS n_words,
-       CAST(length(text) AS BIGINT) AS n_chars_live,
-       (round({pr}, 6) + 0e0) AS punct_r,
-       (round({awl}, 6) + 0e0) AS awl_r,
-       (round({score}, 6) + 0e0) AS quality_r,
-       CASE WHEN {mx} > 0 THEN {case} ELSE 'und' END AS lang_pred
-FROM hits
-"""
-
-
-SQL_TEXT_FEATURES = _sql_text_features()
-
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary heavy hitters (training-data pipeline: vocabulary /
@@ -923,17 +542,6 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.vocab_topk(_docs(spark, sf_dir), k=100)
 
 
-SQL_VOCAB_TOPK = """
-WITH toks AS (
-  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
-)
-SELECT token, count(*) AS n_occurrences
-FROM toks WHERE length(token) > 0
-GROUP BY token
-ORDER BY n_occurrences DESC, token
-LIMIT 100
-"""
-
 
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 TF-IDF terms (smoothed idf) — the relevance/
@@ -942,32 +550,6 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.tfidf_top_terms(_docs(spark, sf_dir), k=5)
 
 
-SQL_TFIDF_TOPTERMS = """
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
-),
-tf AS (
-  SELECT doc_id, token, count(*) AS tf
-  FROM toks WHERE length(token) > 0 GROUP BY doc_id, token
-),
-dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-n AS (SELECT count(*) AS n_docs FROM documents),
-scored AS (
-  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
-         (round(tf.tf * (ln((n.n_docs + 1e0) / (dfreq.df + 1e0)) + 1e0), 6) + 0e0)
-           AS tfidf_r
-  FROM tf JOIN dfreq USING (token), n
-),
-ranked AS (
-  SELECT *, row_number() OVER (
-    PARTITION BY doc_id ORDER BY tfidf_r DESC, token
-  ) AS term_rank
-  FROM scored
-)
-SELECT doc_id, token, tf, df, tfidf_r, CAST(term_rank AS BIGINT) AS term_rank
-FROM ranked WHERE term_rank <= 5
-"""
-
 
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained character-trigram LM quality score per document —
@@ -975,22 +557,6 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     style filtering without an external model)."""
     return text_ops.trigram_lm_score(_docs(spark, sf_dir))
 
-
-SQL_LM_SCORE = """
-WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
-pos AS (SELECT doc_id, t, unnest(range(length(t) - 2)) AS p0 FROM t),
-tri AS (SELECT doc_id, substr(t, CAST(p0 + 1 AS INTEGER), 3) AS tri FROM pos),
-model AS (SELECT tri, count(*) AS cnt FROM tri GROUP BY tri),
-total AS (SELECT sum(cnt) AS tot FROM model)
-SELECT doc_id,
-       count(*) AS n_trigrams,
-       (round(avg(ln(model.cnt / (SELECT tot FROM total))), 6) + 0e0) AS lm_score_r
-FROM tri JOIN model USING (tri)
-GROUP BY doc_id
-"""
-
-
-_SDEDUP_BASE = 946684800  # 2000-01-01 UTC — epoch-0 event times are a
 # documented dropDuplicatesWithinWatermark edge (initial watermark treats
 # them as expired), so the replay starts a safe 30 years in
 
@@ -1054,27 +620,6 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("doc_id", "text_hash")
 
 
-SQL_STREAMING_DEDUP = f"""
-WITH arrivals AS (
-  SELECT doc_id, text, 1 AS batch, {_SDEDUP_BASE} + doc_id AS ts_s
-  FROM documents WHERE doc_id < 300
-  UNION ALL
-  SELECT doc_id, text, 2, {_SDEDUP_BASE + 300} + doc_id
-  FROM documents WHERE doc_id >= 300 AND doc_id < 400
-  UNION ALL
-  SELECT doc_id, text, 2, {_SDEDUP_BASE + 600} + doc_id
-  FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0
-),
-ranked AS (
-  SELECT doc_id, md5(text) AS text_hash,
-         row_number() OVER (
-           PARTITION BY md5(text) ORDER BY batch, ts_s, doc_id
-         ) AS r
-  FROM arrivals
-)
-SELECT doc_id, text_hash FROM ranked WHERE r = 1
-"""
-
 
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
@@ -1084,27 +629,6 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     )
 
-
-SQL_ANN_COSINE = """
-WITH ex AS (
-  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-         generate_subscripts(embedding, 1) AS i
-  FROM embeddings
-),
-dots AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         sum(a.v * b.v) AS dot,
-         sqrt(sum(a.v * a.v)) AS na, sqrt(sum(b.v * b.v)) AS nb
-  FROM ex a JOIN ex b ON a.i = b.i
-  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
-  GROUP BY a.vec_id, b.vec_id
-)
-SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
-  SELECT query_id, neighbor_id,
-         row_number() OVER (PARTITION BY query_id ORDER BY dot / (na * nb) DESC, neighbor_id) AS rank
-  FROM dots
-) r WHERE rank <= 10
-"""
 
 
 def q_knn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1142,6 +666,7 @@ def q_knn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 def knn_like_l2_topk(embs: DataFrame, qs: DataFrame, k: int) -> DataFrame:
     from pyspark.sql import Window
 
@@ -1161,53 +686,6 @@ def knn_like_l2_topk(embs: DataFrame, qs: DataFrame, k: int) -> DataFrame:
     )
 
 
-SQL_KNN_QUALITY = """
-WITH ex AS (
-  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-         generate_subscripts(embedding, 1) AS i
-  FROM embeddings
-),
-dots AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         sum(a.v * b.v) AS dot,
-         sum(a.v * a.v) AS na2, sum(b.v * b.v) AS nb2
-  FROM ex a JOIN ex b ON a.i = b.i
-  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
-  GROUP BY a.vec_id, b.vec_id
-),
-cosr AS (
-  SELECT query_id, neighbor_id,
-         row_number() OVER (PARTITION BY query_id ORDER BY dot / (sqrt(na2) * sqrt(nb2)) DESC, neighbor_id) AS r
-  FROM dots
-),
-l2r AS (
-  SELECT query_id, neighbor_id,
-         row_number() OVER (PARTITION BY query_id ORDER BY na2 + nb2 - 2 * dot, neighbor_id) AS r
-  FROM dots
-),
-hits AS (
-  SELECT query_id, CAST(count(*) AS BIGINT) AS hits10
-  FROM (SELECT query_id, neighbor_id FROM cosr WHERE r <= 10) c
-  JOIN (SELECT query_id, neighbor_id FROM l2r WHERE r <= 10) l
-  USING (query_id, neighbor_id)
-  GROUP BY query_id
-),
-target AS (
-  SELECT query_id, na2 + nb2 - 2 * dot AS target_d2
-  FROM dots WHERE neighbor_id = query_id + 1
-),
-rnk AS (
-  SELECT d.query_id,
-         CAST(sum(CASE WHEN (round(d.na2 + d.nb2 - 2 * d.dot, 6) + 0e0)
-                            <= (round(t.target_d2, 6) + 0e0)
-                  THEN 1 ELSE 0 END) AS BIGINT) AS rank
-  FROM dots d JOIN target t ON d.query_id = t.query_id
-  GROUP BY d.query_id
-)
-SELECT r.query_id, r.rank, coalesce(h.hits10, 0) AS hits10
-FROM rnk r LEFT JOIN hits h ON r.query_id = h.query_id
-"""
-
 
 
 
@@ -1226,9 +704,11 @@ def q_segment_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 def q_rdp_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = segment_ops.simplify_trajectories(_points(spark, sf_dir), epsilon=100.0)
     return out.where(F.col("rdp_keep")).select("traj_id", "point_id")
+
 
 
 def q_similarity_edwp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1244,6 +724,7 @@ def q_similarity_edwp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(pts.select("traj_id", "fed_id").distinct(), "traj_id")
     d = simi_ops.similarity_join(polys, "edwp", block_col="fed_id")
     return d.select("i", "j", _RND("dist", 3).alias("dist_r"))
+
 
 
 def q_similarity_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1276,6 +757,7 @@ def q_similarity_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 def _cluster_input_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRACLUS segments + synthetic 32-dim embedding, the shared input of
     cluster_segments and silhouette."""
@@ -1294,11 +776,13 @@ def _cluster_input_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 def q_cluster_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = _cluster_input_segments(spark, sf_dir)
     return cluster_ops.cluster_segments(segs, eps=50000.0, min_samples=2).select(
         F.col("fed_id").cast("long").alias("fed_id"), "segment_id", "label"
     )
+
 
 
 def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1353,6 +837,7 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 def q_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Federated cluster aggregation + greedy centroid merge
     (/root/reference/clustering.py:125-144): per-shard DBSCAN clusters →
@@ -1397,12 +882,14 @@ def q_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 def _blocked_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points(spark, sf_dir).withColumn("fed_id", F.col("traj_id") % 5)
     polys = simi_ops.collect_polylines(
         pts.select("traj_id", "fed_id", "ts_ms", "point_id", "x", "y")
     )
     return polys.join(pts.select("traj_id", "fed_id").distinct(), "traj_id")
+
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1439,6 +926,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("i", "j", _RND("cosine", 6).alias("cosine_r"))
 
 
+
 def _newsimi_summary(q: DataFrame, db: DataFrame) -> DataFrame:
     def summarize(df: DataFrame, role: str) -> DataFrame:
         return df.where(F.size("xs") > 0).select(
@@ -1452,6 +940,7 @@ def _newsimi_summary(q: DataFrame, db: DataFrame) -> DataFrame:
     return summarize(q, "q").unionAll(summarize(db, "db"))
 
 
+
 def q_newsimi_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """newsimi query/db generation (preprocessing_porto.py:94-117): test
     slice [0.8n, 0.8n+25), first 10 trajs' EVEN points = queries, every
@@ -1462,33 +951,6 @@ def q_newsimi_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, db = newsimi.newsimi_datasets(polys, n_query=10, n_db=25, variant="raw")
     return _newsimi_summary(q, db)
 
-
-SQL_NEWSIMI_RAW = f"""
-WITH pts AS ({synth.points_sql('duckdb')}),
-t AS (SELECT DISTINCT traj_id FROM pts),
-rn AS (
-  SELECT traj_id, row_number() OVER (ORDER BY traj_id) - 1 AS r,
-         count(*) OVER () AS n
-  FROM t
-),
-sel AS (
-  SELECT traj_id, r - CAST(floor(n * 0.8e0) AS BIGINT) AS k
-  FROM rn
-  WHERE r >= CAST(floor(n * 0.8e0) AS BIGINT)
-    AND r < CAST(floor(n * 0.8e0) AS BIGINT) + 25
-),
-o AS (
-  SELECT p.traj_id, s.k, p.x, p.y,
-         row_number() OVER (PARTITION BY p.traj_id ORDER BY p.ts_ms, p.point_id) - 1 AS i
-  FROM pts p JOIN sel s ON p.traj_id = s.traj_id
-)
-SELECT 'q' AS role, traj_id, count(*) AS n_pts,
-       (round(arg_min(x, i), 4) + 0e0) AS x0_r, (round(arg_max(y, i), 4) + 0e0) AS yl_r
-FROM o WHERE k < 10 AND i % 2 = 0 GROUP BY traj_id
-UNION ALL
-SELECT 'db', traj_id, count(*), (round(arg_min(x, i), 4) + 0e0), (round(arg_max(y, i), 4) + 0e0)
-FROM o WHERE i % 2 = 1 GROUP BY traj_id
-"""
 
 
 def q_newsimi_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1511,6 +973,7 @@ def q_newsimi_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionAll(parts[1])
 
 
+
 def q_measure_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN by true Hausdorff measure via the exact grid-pruned path
     (anchor-cell ring join + radius bound; fed_trainer.py:445-452)."""
@@ -1522,6 +985,7 @@ def q_measure_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         _RND("dist", 3).alias("dist_r"),
     )
+
 
 
 def q_measure_topk_lcss(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1541,6 +1005,7 @@ def q_measure_topk_lcss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 def q_measure_topk_edwp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN by EDwP via the exact grid-pruned metric path (round 3: every
     DP term is (d₁+d₂)·cov with distances between on-polyline points and
@@ -1556,6 +1021,7 @@ def q_measure_topk_edwp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the documents table ships as ONE parquet file at test scale → one
     # scan task; fan it out so the Arrow signature/verify stages use every
@@ -1567,6 +1033,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.ngram_jaccard_verify(docs, cands, threshold=0.5).select(
         "i", "j", _RND("jaccard", 4).alias("jaccard_r")
     )
+
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1585,25 +1052,6 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_dedup_components() -> str:
-    """HYBRID oracle: the verified pair table comes from the committed
-    minhash_lsh golden (the engine's pair table is itself gated against
-    it), while everything this query ADDS — undirected closure and
-    min-reachable-id per node — is a LIVE DuckDB recursive CTE."""
-    return f"""
-WITH RECURSIVE pairs AS (
-  SELECT i, j FROM read_parquet('{_golden_dir()}/minhash_lsh.parquet')
-),
-und AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
-reach(node, r) AS (
-  SELECT DISTINCT a, a FROM und
-  UNION
-  SELECT re.node, u.b FROM reach re JOIN und u ON re.r = u.a
-)
-SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
-FROM reach GROUP BY node
-"""
-
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_hamming=4 → 5 bands × 12 bits: selective buckets (a 10-bit budget
@@ -1617,72 +1065,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_simhash(max_hamming: int = 4) -> str:
-    """LIVE DuckDB replica of q_simhash (VERDICT r3 item 8 — one fewer
-    committed-parquet oracle): FNV-1a over every 5-byte shingle window in
-    HUGEINT arithmetic (h·prime wraps mod 2⁶⁴ explicitly; the corpus is
-    pure ASCII so ascii(substr(…)) IS the byte), per-bit majority vote →
-    64-bit signature, pigeonhole banding (n_bands = hamming+1 = 5 × 12
-    bits, same as the engine), bit_count(xor) verify."""
-    n_bands = max_hamming + 1
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    m64 = "18446744073709551616::HUGEINT"
-    p = "1099511628211::HUGEINT"
-    return f"""
-WITH d AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
-dp AS (
-  SELECT doc_id,
-         CASE WHEN length(t) < 5 THEN t || repeat(' ', 5 - length(t)) ELSE t END AS t
-  FROM d
-),
-win AS (SELECT doc_id, t, unnest(range(length(t) - 4)) AS off FROM dp),
-s0 AS (
-  SELECT doc_id,
-    ascii(substr(t, (off + 1)::INTEGER, 1))::HUGEINT AS b0,
-    ascii(substr(t, (off + 2)::INTEGER, 1))::HUGEINT AS b1,
-    ascii(substr(t, (off + 3)::INTEGER, 1))::HUGEINT AS b2,
-    ascii(substr(t, (off + 4)::INTEGER, 1))::HUGEINT AS b3,
-    ascii(substr(t, (off + 5)::INTEGER, 1))::HUGEINT AS b4
-  FROM win
-),
-s1 AS (SELECT doc_id, b1, b2, b3, b4,
-              (xor(1469598103934665603::HUGEINT, b0) * {p}) % {m64} AS h FROM s0),
-s2 AS (SELECT doc_id, b2, b3, b4, (xor(h, b1) * {p}) % {m64} AS h FROM s1),
-s3 AS (SELECT doc_id, b3, b4, (xor(h, b2) * {p}) % {m64} AS h FROM s2),
-s4 AS (SELECT doc_id, b4, (xor(h, b3) * {p}) % {m64} AS h FROM s3),
-s5 AS (SELECT DISTINCT doc_id, (xor(h, b4) * {p}) % {m64} AS h FROM s4),
-bits AS (
-  SELECT doc_id, b.bit, CASE WHEN ((h >> b.bit::INTEGER) & 1) = 1 THEN 1 ELSE -1 END AS v
-  FROM s5, (SELECT unnest(range(64)) AS bit) b
-),
-acc AS (SELECT doc_id, bit, sum(v) AS a FROM bits GROUP BY 1, 2),
-sig AS (
-  SELECT doc_id,
-         sum(CASE WHEN a > 0 THEN (1::HUGEINT << bit::INTEGER) ELSE 0::HUGEINT END) AS u
-  FROM acc GROUP BY 1
-),
-bands AS (
-  SELECT doc_id, b.bi AS band_idx, ((u >> ({width} * b.bi)::INTEGER) & {mask}) AS band_val
-  FROM sig, (SELECT unnest(range({n_bands})) AS bi) b
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-)
-SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-       CAST(bit_count(xor(si.u, sj.u)) AS BIGINT) AS hamming
-FROM cand JOIN sig si ON si.doc_id = cand.i JOIN sig sj ON sj.doc_id = cand.j
-WHERE bit_count(xor(si.u, sj.u)) <= {max_hamming}
-"""
-
-
-SQL_SIMHASH = _sql_simhash()
-
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1695,8 +1081,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 ANN_RECALL_CLUSTERS = 25
+
 ANN_RECALL_NPROBE = 4
+
 
 
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1735,6 +1124,7 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 def q_fed_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional N-way federated shard assignment (np.array_split order)."""
     trajs = _points(spark, sf_dir).select("traj_id").distinct()
@@ -1742,24 +1132,6 @@ def q_fed_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "traj_id", F.col("fed_id").cast("long").alias("fed_id")
     )
 
-
-SQL_FED_SPLIT = f"""
-WITH t AS (SELECT DISTINCT user_id AS traj_id FROM events),
-rn AS (
-  SELECT traj_id,
-         row_number() OVER (ORDER BY traj_id) AS r,
-         count(*) OVER () AS n
-  FROM t
-)
-SELECT traj_id,
-  CAST(CASE
-    -- np.array_split: first (n % 5) shards get floor(n/5)+1 rows
-    WHEN r <= (n % 5) * (n // 5 + 1)
-      THEN (r - 1) // (n // 5 + 1)
-    ELSE (n % 5) + ((r - 1) - (n % 5) * (n // 5 + 1)) // (n // 5)
-  END AS BIGINT) AS fed_id
-FROM rn
-"""
 
 
 def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1780,14 +1152,6 @@ def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionAll(rows[1])
 
 
-SQL_DESCRIBE = f"""
-WITH pts AS ({synth.points_sql('duckdb')})
-SELECT 'x' AS axis, (round(avg(x), 4) + 0e0) AS mean_r, (round(stddev_pop(x), 4) + 0e0) AS std_r,
-       (round(min(x), 4) + 0e0) AS min_r, (round(max(x), 4) + 0e0) AS max_r FROM pts
-UNION ALL
-SELECT 'y', (round(avg(y), 4) + 0e0), (round(stddev_pop(y), 4) + 0e0), (round(min(y), 4) + 0e0), (round(max(y), 4) + 0e0) FROM pts
-"""
-
 
 def q_augment_time_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic time_shift augmentation (p_i ← ¾p_i + ¼p_{i+1}) over
@@ -1805,36 +1169,8 @@ def q_augment_time_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_AUGMENT_TIME_SHIFT = f"""
-WITH pts AS ({synth.points_sql('duckdb')}),
-rn AS (
-  SELECT traj_id, x, y,
-         row_number() OVER (PARTITION BY traj_id ORDER BY ts_ms, point_id) AS r,
-         count(*) OVER (PARTITION BY traj_id) AS n,
-         lead(x) OVER (PARTITION BY traj_id ORDER BY ts_ms, point_id) AS xn,
-         lead(y) OVER (PARTITION BY traj_id ORDER BY ts_ms, point_id) AS yn
-  FROM pts WHERE traj_id < 8
-)
-SELECT traj_id, CAST(n - 1 AS BIGINT) AS new_len,
-       (round(arg_min(x * 0.75e0 + xn * 0.25e0, r), 4) + 0e0) AS x0_r,
-       (round(arg_max(y * 0.75e0 + yn * 0.25e0, CASE WHEN r < n THEN r ELSE 0 END), 4) + 0e0) AS yl_r
-FROM rn WHERE r < n
-GROUP BY traj_id, n
-"""
 
 
-# Committed porto-shaped CSV (tools/gen_porto_csv.py): the driver queries
-# exercise the REAL CSV scan path and the oracles are LIVE DuckDB SQL over
-# the same file (upgraded from golden parquet, VERDICT r2 item 7).
-_PORTO_CSV = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "porto.csv"
-)
-
-_PORTO_DUCK_COLS = (
-    "{'TRIP_ID':'VARCHAR','CALL_TYPE':'VARCHAR','ORIGIN_CALL':'VARCHAR',"
-    "'ORIGIN_STAND':'VARCHAR','TAXI_ID':'BIGINT','TIMESTAMP':'BIGINT',"
-    "'DAY_TYPE':'VARCHAR','MISSING_DATA':'BOOLEAN','POLYLINE':'VARCHAR'}"
-)
 
 
 def q_porto_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1851,22 +1187,6 @@ def q_porto_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_PORTO_CLEAN = f"""
-WITH parsed AS (
-  SELECT TRIP_ID AS traj_id, MISSING_DATA,
-         CAST(POLYLINE::JSON AS DOUBLE[][]) AS seq
-  FROM read_csv('{_PORTO_CSV}', header=true, columns={_PORTO_DUCK_COLS})
-)
-SELECT traj_id, CAST(len(seq) AS BIGINT) AS trajlen,
-       (round(6378137.0e0 * (seq[1][1] * 0.017453292519943295e0), 2) + 0e0) AS x0_r
-FROM parsed
-WHERE NOT MISSING_DATA
-  AND len(seq) BETWEEN {MIN_TRAJ_LEN} AND {MAX_TRAJ_LEN}
-  AND len(list_filter(seq, p -> NOT (
-        p[1] > {_L(MIN_LON)} AND p[1] < {_L(MAX_LON)}
-        AND p[2] > {_L(MIN_LAT)} AND p[2] < {_L(MAX_LAT)}))) = 0
-"""
-
 
 def q_porto_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POLYLINE explosion to the point table with the reference's 15-s
@@ -1881,25 +1201,6 @@ def q_porto_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_PORTO_POINTS = f"""
-WITH parsed AS (
-  SELECT TRIP_ID AS traj_id, "TIMESTAMP" AS base_s,
-         CAST(POLYLINE::JSON AS DOUBLE[][]) AS seq
-  FROM read_csv('{_PORTO_CSV}', header=true, columns={_PORTO_DUCK_COLS})
-  WHERE NOT MISSING_DATA
-),
-exploded AS (
-  SELECT traj_id, base_s, unnest(seq) AS p,
-         unnest(range(len(seq))) AS pos   -- parallel unnests zip in DuckDB
-  FROM parsed
-)
-SELECT traj_id, CAST(pos AS BIGINT) AS pos,
-       (base_s + 15 * pos) * 1000 AS ts_ms,
-       (round(p[1], 6) + 0e0) AS lon_r,
-       (round(p[2], 6) + 0e0) AS lat_r
-FROM exploded
-"""
-
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature plumbing over the deterministic fake
@@ -1912,6 +1213,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "kind",
         _RND(F.aggregate("feat", F.lit(0.0), lambda a, v: a + v.cast("double")), 4).alias("feat_sum_r"),
     )
+
 
 
 def q_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1935,6 +1237,7 @@ def q_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling: RV01 raw-video payloads (real
     uncompressed container, library-free decode) → 4 uniformly-spaced
@@ -1952,6 +1255,7 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 def q_polygon_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoRelation adjacency of polygons sharing a covering cell — LIVE
     SQL oracle (round 3): DuckDB rebuilds the octagon vertices, bounded
@@ -1963,49 +1267,6 @@ def q_polygon_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = polygon_covering_cells(polys, G)
     return polygon_adjacency(cov)
 
-
-def _bidx_sql(v: str, vmin: float, vmax: float, unit: float, size: int) -> str:
-    """SQL twin of spatial_join._bounded_idx (clamp to MBR edge)."""
-    return (
-        f"least({size - 1}, greatest(0, CAST(floor(floor("
-        f"greatest({_L(vmin)}, least({_L(vmax)}, {v})) - {_L(vmin)}"
-        f") / {_L(unit)}) AS BIGINT)))"
-    )
-
-
-def _polygon_adjacency_sql() -> str:
-    from trajlib_spark.sources.synth import _VERTS, polygons_base_sql
-
-    arms = "\nUNION ALL\n".join(
-        f"SELECT geo_id, {x} AS vx, {y} AS vy FROM poly_base" for x, y in _VERTS
-    )
-    return f"""
-WITH poly_base AS ({polygons_base_sql()}),
-verts AS ({arms}),
-bbox AS (
-  SELECT geo_id, min(vx) AS xlo, max(vx) AS xhi,
-         min(vy) AS ylo, max(vy) AS yhi
-  FROM verts GROUP BY geo_id
-),
-idx AS (
-  SELECT geo_id,
-         {_bidx_sql('xlo', G.x_min, G.x_max, G.x_unit, G.x_size)} AS ix_lo,
-         {_bidx_sql('xhi', G.x_min, G.x_max, G.x_unit, G.x_size)} AS ix_hi,
-         {_bidx_sql('ylo', G.y_min, G.y_max, G.y_unit, G.y_size)} AS iy_lo,
-         {_bidx_sql('yhi', G.y_min, G.y_max, G.y_unit, G.y_size)} AS iy_hi
-  FROM bbox
-),
-fx AS (SELECT geo_id, unnest(range(ix_lo, ix_hi + 1)) AS i_x, iy_lo, iy_hi FROM idx),
-fy AS (SELECT geo_id, i_x, unnest(range(iy_lo, iy_hi + 1)) AS i_y FROM fx),
-cc AS (SELECT geo_id, i_x * {G.y_size} + i_y AS cell_id FROM fy),
-pairs AS (
-  SELECT DISTINCT a.geo_id AS origin_id, b.geo_id AS dest_id
-  FROM cc a JOIN cc b ON a.cell_id = b.cell_id AND a.geo_id < b.geo_id
-)
-SELECT CAST(row_number() OVER (ORDER BY origin_id, dest_id) AS BIGINT) AS rel_id,
-       origin_id, dest_id
-FROM pairs
-"""
 
 
 def q_pages_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2025,83 +1286,6 @@ def q_pages_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_pages_points(n: int) -> str:
-    """DuckDB replica of q_pages_points at page count ``n`` — mirrors
-    sources/pages.make_page (hash walk, decoys, 6-dp text round-trip) and
-    operators/extract.pages_to_points + cells.with_cell operand-for-
-    operand. Hash products exceed int64 (python ints are unbounded), so
-    the SQL promotes to HUGEINT before the multiply."""
-    from trajlib_spark.config import LAT_SPAN, LON_SPAN
-    from trajlib_spark.sources.pages import _BASE_TS
-
-    lon0 = _L(MIN_LON + 0.0001)
-    lat0 = _L(MIN_LAT + 0.0001)
-    lon_span = _L(LON_SPAN - 0.0002)
-    lat_span = _L(LAT_SPAN - 0.0002)
-    cx, cy = G.center
-    inb = (
-        f"(x >= {_L(G.x_min)} AND x <= {_L(G.x_max)} "
-        f"AND y >= {_L(G.y_min)} AND y <= {_L(G.y_max)})"
-    )
-    return f"""
-WITH km AS (
-  SELECT i,
-         (i * 2654435761) % 10 AS mode,
-         1 + (i * 31) % 8 AS n_m
-  FROM range({n}) t(i)
-),
-ks AS (
-  SELECT i, mode,
-         unnest(range(CASE WHEN mode <= 6 THEN n_m
-                           WHEN mode = 7 THEN 2 ELSE 0 END)) AS k
-  FROM km
-),
-raw AS (
-  SELECT i, k,
-    CASE WHEN mode <= 6 THEN
-      {lat0} + CAST((CAST(i AS HUGEINT) * 998244353 + k * 104729 + 7)
-                    * 2654435761 % 999979 AS DOUBLE) / 999979.0e0 * {lat_span}
-    ELSE
-      CAST((CAST(i AS HUGEINT) * 7919 + k) * 2654435761 % 170000 AS DOUBLE)
-        / 1000.0e0 - 85.0e0
-    END AS la,
-    CASE WHEN mode <= 6 THEN
-      {lon0} + CAST((CAST(i AS HUGEINT) * 1000003 + k * 7919 + 13)
-                    * 2654435761 % 999983 AS DOUBLE) / 999983.0e0 * {lon_span}
-    ELSE
-      CAST((CAST(i AS HUGEINT) * 7907 + k) * 2654435761 % 359000 AS DOUBLE)
-        / 1000.0e0 - 179.5e0
-    END AS lo
-  FROM ks
-),
-mined AS (  -- the text embeds %.6f renderings; the miner reparses them
-  SELECT i, k AS pos,
-         CAST(printf('%.6f', la) AS DOUBLE) AS lat,
-         CAST(printf('%.6f', lo) AS DOUBLE) AS lon
-  FROM raw
-),
-pts AS (
-  SELECT i, pos, lat, lon,
-         {_L(6378137.0)} * (lon * {_L(0.017453292519943295)}) AS x,
-         {_L(3189068.5)} * ln((1.0e0 + sin(lat * {_L(0.017453292519943295)}))
-                              / (1.0e0 - sin(lat * {_L(0.017453292519943295)}))) AS y
-  FROM mined
-  WHERE lon > {_L(MIN_LON)} AND lon < {_L(MAX_LON)}
-    AND lat > {_L(MIN_LAT)} AND lat < {_L(MAX_LAT)}
-)
-SELECT
-  'https://site' || (i % 97) || '.example/' ||
-    CASE i % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'pt' WHEN 2 THEN 'zh'
-               ELSE 'de' END || '/page-' || i AS url,
-  CAST(pos AS BIGINT) AS pos,
-  ({_BASE_TS} + 15 * i) * 1000 + pos * 15000 AS ts_ms,
-  CAST(floor(floor((CASE WHEN {inb} THEN x ELSE {_L(cx)} END) - {_L(G.x_min)})
-             / {_L(G.x_unit)}) AS BIGINT) * {G.y_size}
-  + CAST(floor(floor((CASE WHEN {inb} THEN y ELSE {_L(cy)} END) - {_L(G.y_min)})
-               / {_L(G.y_unit)}) AS BIGINT) AS cell_id
-FROM pts
-"""
-
 
 def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HMM map matching (SURVEY §2.13, map_match.py:176-213 analog):
@@ -2117,6 +1301,7 @@ def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_ops.match_trajectories(pc, edges, G, edge_nodes)
 
 
+
 def q_matched_edge_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connectivity among the distinct matched edges (the reference
     rebuilds this with an O(n²) python loop, map_match.py:163-173; here a
@@ -2129,37 +1314,6 @@ def q_matched_edge_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = roads.road_edges(spark, G)
     return mm_ops.matched_edge_connections(matched, edges)
 
-
-def _sql_matched_edge_graph() -> str:
-    """HYBRID oracle: the matched states come from the committed map_match
-    golden (Viterbi is not SQL-expressible), but everything this query
-    ADDS — the jittered-Manhattan edge topology (roads.road_grid_arrays
-    node ids: right edges r·39+c then up edges 1560+r·40+c), the distinct,
-    and the to_node=from_node self-join — is recomputed LIVE in DuckDB."""
-    return f"""
-WITH edges AS (
-  SELECT CAST(r * 39 + c AS BIGINT) AS edge_id,
-         CAST(r * 40 + c AS BIGINT) AS from_node,
-         CAST(r * 40 + c + 1 AS BIGINT) AS to_node
-  FROM (SELECT unnest(range(40)) AS r), (SELECT unnest(range(39)) AS c)
-  UNION ALL
-  SELECT CAST(1560 + r * 40 + c AS BIGINT),
-         CAST(r * 40 + c AS BIGINT),
-         CAST((r + 1) * 40 + c AS BIGINT)
-  FROM (SELECT unnest(range(39)) AS r), (SELECT unnest(range(40)) AS c)
-),
-used AS (
-  SELECT DISTINCT edge_id
-  FROM read_parquet('{_golden_dir()}/map_match.parquet')
-  WHERE edge_id >= 0
-),
-ue AS (
-  SELECT e.edge_id, e.from_node, e.to_node
-  FROM used u JOIN edges e USING (edge_id)
-)
-SELECT a.edge_id AS edge_a, b.edge_id AS edge_b
-FROM ue a JOIN ue b ON a.to_node = b.from_node AND a.edge_id <> b.edge_id
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -2175,6 +1329,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return sj_ops.point_in_polygon(
         pts, polys, G, point_cols=["url", "pos", "cell_id"]
     )
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2261,25 +1416,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# The driver's correctness gate runs at sf0.01; golden parquet is committed
-# for sf0.001 and sf0.01 (regenerate: python tools/gen_golden.py).  The dir
-# is derived from this file's location (repo-relocation-safe); the sf
-# subdirectory can be overridden via SPARK_GRAFT_ORACLE_SF for local gate
-# runs at other scale factors.
-import os as _os
-
-
-def _golden_dir() -> str:
-    return _os.path.join(
-        _os.path.dirname(_os.path.abspath(__file__)),
-        "tests", "golden", "oracle",
-        _os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01"),
-    )
-
-
-def _golden_sql(name: str) -> str:
-    return f"SELECT * FROM read_parquet('{_golden_dir()}/{name}.parquet')"
-
 
 _GOLDEN_QUERIES = (
     "segment_cut", "rdp_simplify", "similarity_edwp", "similarity_all",
@@ -2292,11 +1428,12 @@ _GOLDEN_QUERIES = (
 )
 
 
+
 def oracle_sql() -> dict[str, str]:
     out = {name: _golden_sql(name) for name in _GOLDEN_QUERIES}
     out.update(_SQL_ORACLES)
     # page count tracks the gate's scale factor (driver runs sf0.01)
-    sf = _os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01")
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01")
     out["pages_points"] = sql_pages_points(
         {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 100000}.get(sf, 2000)
     )
@@ -2305,6 +1442,7 @@ def oracle_sql() -> dict[str, str]:
     out["matched_edge_graph"] = _sql_matched_edge_graph()
     out["dedup_components"] = _sql_dedup_components()
     return out
+
 
 
 def _build_sql_oracles() -> dict[str, str]:
@@ -2347,6 +1485,7 @@ def _build_sql_oracles() -> dict[str, str]:
         "tfidf_topterms": SQL_TFIDF_TOPTERMS,
         "lm_score": SQL_LM_SCORE,
     }
+
 
 
 _SQL_ORACLES = _build_sql_oracles()
