@@ -1376,11 +1376,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "measure_topk_edwp": q_measure_topk_edwp,
         "lm_score": q_lm_score,
         "walk_skipgrams": q_walk_skipgrams,
+        "dedup_components": q_dedup_components,
         # --- (c) unchanged, green in r04 ---
         "map_match": q_map_match,
         "cell_walks": q_cell_walks,
         "matched_edge_graph": q_matched_edge_graph,
-        "dedup_components": q_dedup_components,
         "ann_ivf_recall": q_ann_ivf_recall,
         "minhash_lsh": q_minhash_lsh,
         "embedding_near_dups": q_embedding_near_dups,

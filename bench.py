@@ -292,6 +292,42 @@ def sf1_pilot(sf_dir: str, cpus: int) -> dict:
         out["cell_walks_rows"] = _run_and_count(walks)
         out["cell_walks_sec"] = round(time.time() - t0, 2)
         out["cell_walks_skew_splits"] = _plan_skew_count(walks)
+        spark.catalog.clearCache()
+
+        # 6) the REFERENCE walk config (node2vec_.py:19-29: walk_length 50,
+        # walks_per_node 10, context 10) — the 49-join walk chain and the
+        # slice-bounded skip-gram fan at their real shape (VERDICT r4 #3).
+        # Walks are checkpointed untimed-out of the skip-gram window so the
+        # two stages attribute separately.
+        t0 = time.time()
+        walks50 = walk_ops.node2vec_walks(pairs, starts, walk_length=50,
+                                          walks_per_node=10)
+        out["walks50_rows"] = _run_and_count(walks50)
+        out["walks50_sec"] = round(time.time() - t0, 2)
+        w50 = walks50.localCheckpoint(eager=True)
+        t0 = time.time()
+        sg = walk_ops.skipgram_pairs(w50, window=10)
+        out["skipgrams50_rows"] = _run_and_count(sg)
+        out["skipgrams50_sec"] = round(time.time() - t0, 2)
+        out["skipgrams50_skew_splits"] = _plan_skew_count(sg)
+        w50.unpersist()
+        spark.catalog.clearCache()
+
+        # 7) connected components in the pathological path-shaped regime
+        # (VERDICT r4 #5): a 100k-node chain, diameter 99 999 — plain
+        # propagation would need one round per hop; pointer jumping
+        # (dedup.connected_components jump=True) must close it in
+        # ~log2(n) rounds. Rounds and wall time recorded.
+        chain = spark.range(99_999).select(
+            F.col("id").alias("i"), (F.col("id") + 1).alias("j")
+        ).repartition(cpus)
+        cc_stats: dict = {}
+        t0 = time.time()
+        comp = dedup.connected_components(chain, stats=cc_stats)
+        out["dedup_components_chain_nodes"] = _run_and_count(comp)
+        out["dedup_components_chain_sec"] = round(time.time() - t0, 2)
+        out["dedup_components_chain_rounds"] = cc_stats.get("rounds")
+        spark.catalog.clearCache()
         out["peak_jvm_rss_gb"] = _jvm_peak_rss_gb()
     except Exception as ex:  # noqa: BLE001 — pilot must never sink the bench
         out["error"] = f"{type(ex).__name__}: {ex}"

@@ -239,6 +239,33 @@ def test_connected_components_chain_and_islands(spark):
                    20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    """Pointer jumping must resolve a path-shaped component in ~log₂
+    rounds: a 200-node chain (diameter 199) converges well inside the
+    default max_iter=25, where plain propagation would need 199 rounds
+    and now RAISES instead of returning partial labels."""
+    import pytest
+
+    from trajlib_spark.operators import dedup
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(k, k + 1) for k in range(n - 1)], "i long, j long"
+    )
+    stats: dict = {}
+    got = {
+        r.node: r.component
+        for r in dedup.connected_components(pairs, stats=stats).collect()
+    }
+    assert got == {k: 0 for k in range(n)}
+    # horizon doubles per round: ⌈log₂(199)⌉ + fixpoint-confirm + slack
+    assert stats["rounds"] <= 12, stats
+    # plain propagation on the same chain cannot finish in 10 rounds and
+    # must refuse to return a wrong labeling
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=10, jump=False)
+
+
 def test_vocab_topk_order_and_ties(spark):
     from trajlib_spark.operators import text as T
 

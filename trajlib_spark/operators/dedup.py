@@ -362,25 +362,34 @@ def embedding_near_dups(
 # --- near-dup components ------------------------------------------------------
 
 def connected_components(
-    pairs: DataFrame, i: str = "i", j: str = "j", max_iter: int = 25
+    pairs: DataFrame, i: str = "i", j: str = "j", max_iter: int = 25,
+    jump: bool = True, stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``: component
     = the smallest node id reachable over the undirected pair edges — the
     stage that turns verified near-dup PAIRS into dedup GROUPS (keep
     component == node, drop the rest).
 
-    Min-label propagation to fixpoint: each round is ONE shuffle (labels ∪
-    neighbor-labels → groupBy node → min). Labels only decrease, so the
-    global label sum is a convergence certificate — one scalar aggregate
-    per round, no row-level diff join. Each round's result is an EAGER
-    localCheckpoint: the round's plan references the previous labels
-    twice, so without lineage truncation the logical plan doubles per
-    round (2^rounds nodes — the property test OOM'd the driver on a
-    diameter-15 random graph before this). Rounds needed = component
-    diameter; near-dup clusters are small and dense (diameter ~1-3),
-    which is why plain propagation beats the large-star/small-star
-    machinery here (that variant is the documented switch if components
-    ever grow path-shaped)."""
+    Min-label propagation to fixpoint with POINTER JUMPING: each round
+    (1) takes the min over each node's neighbors' labels (one shuffle),
+    then (2) replaces every label by its label's label (one self-join) —
+    the path-compression half of large-star/small-star.  Propagation
+    alone needs diameter rounds (a 100 k-node chain would need 100 k and
+    the r4 code would have returned NON-converged labels after max_iter);
+    with jumping the label horizon doubles per round, so rounds ≈
+    log₂(diameter) and max_iter=25 covers diameters up to ~2²⁵.  Dense
+    near-dup clusters (diameter 1-3) still converge in 2-3 rounds and
+    only pay one extra hash join per round.
+
+    Labels only decrease, so the global label sum is a convergence
+    certificate — one scalar aggregate per round, no row-level diff join;
+    exhausting max_iter without fixpoint RAISES instead of returning a
+    partial labeling.  Each round's result is an EAGER localCheckpoint:
+    the round's plan references the previous labels several times, so
+    without lineage truncation the logical plan doubles per round
+    (2^rounds nodes — the property test OOM'd the driver on a
+    diameter-15 random graph before this).  ``stats``, when given, gets
+    {"rounds": n} for pilot instrumentation."""
     und = (
         pairs.select(F.col(i).alias("a"), F.col(j).alias("b"))
         .unionAll(pairs.select(F.col(j).alias("a"), F.col(i).alias("b")))
@@ -394,21 +403,49 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     cur = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr = und.join(
             labels.select(F.col("node").alias("b"), F.col("label")), "b"
         ).select(F.col("a").alias("node"), "label")
-        new_labels = (
+        cand = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        pre_jump = None
+        if jump:
+            # pointer jump: label ← min(label, label(label)). label is
+            # always a node of the same component (it entered via an edge
+            # or a previous jump), so the jump target exists in cand and
+            # reachability is preserved while path distances halve.
+            # Checkpoint first — the self-join reads cand twice and would
+            # otherwise re-run the neighbor-min stage both times.
+            pre_jump = cand.localCheckpoint(eager=True)
+            hop = pre_jump.select(
+                F.col("node").alias("label"), F.col("label").alias("_l2")
+            )
+            cand = pre_jump.join(hop, "label", "left").select(
+                "node",
+                F.least(F.col("label"), F.coalesce("_l2", "label")).alias("label"),
+            )
+        new_labels = cand.localCheckpoint(eager=True)
         new = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()  # checkpoint blocks of the superseded round
+        if pre_jump is not None:
+            pre_jump.unpersist()  # the intermediate pre-jump checkpoint
         labels = new_labels
         if new == cur:
+            converged = True
             break
         cur = new
     und.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return labels.select("node", F.col("label").alias("component"))

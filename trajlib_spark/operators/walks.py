@@ -109,24 +109,36 @@ def skipgram_pairs(
     consuming them stays the documented non-goal).
 
     ONE shuffle: collect each walk into a sorted array (walks are short —
-    ≤ walk_length elements), then fan the walk_length² position pairs with
-    two narrow explodes and filter to ±``window``. A walk_id self-join
-    would shuffle the table twice AND evaluate the walk-generation chain
-    twice (it is not cached); the collect form evaluates it once."""
+    ≤ walk_length elements), then explode each center against only the
+    SLICE of the walk inside ±``window`` of its position. The slice bound
+    makes the fan linear — min(2·window+1, L) context rows per center
+    instead of the full L (at the reference's walk_length 50 / window 10
+    the unbounded double-explode fanned 2 500 rows per walk for ~900
+    kept, VERDICT r4 #3). Positions are contiguous 0..L−1 per walk
+    (posexplode of a dead-end-free walk), so _seq[k] holds pos k−1 and
+    the 1-based slice [center_pos+1−window, …] is exactly the window. A
+    walk_id self-join would shuffle the table twice AND evaluate the
+    walk-generation chain twice (it is not cached); the collect form
+    evaluates it once."""
     seq = F.sort_array(F.collect_list(F.struct(F.col("pos"), F.col(node_col))))
     arr = walks.groupBy("walk_id").agg(seq.alias("_seq"))
     centers = arr.select("walk_id", "_seq", F.explode("_seq").alias("_c"))
+    start_1b = F.greatest(F.lit(1), F.col("center_pos") + 1 - window)  # 1-based
+    end_0b = F.least(F.col("center_pos") + window, F.size("_seq") - 1)
     return (
         centers.select(
             "walk_id",
             F.col("_c.pos").alias("center_pos"),
             F.col(f"_c.{node_col}").alias("center"),
-            F.explode("_seq").alias("_x"),
+            "_seq",
         )
-        .where(
-            (F.col("_x.pos") != F.col("center_pos"))
-            & (F.abs(F.col("_x.pos") - F.col("center_pos")) <= window)
+        .select(
+            "walk_id", "center_pos", "center",
+            F.explode(
+                F.slice("_seq", start_1b, end_0b - start_1b + 2)
+            ).alias("_x"),
         )
+        .where(F.col("_x.pos") != F.col("center_pos"))
         .select(
             "walk_id", "center_pos", "center",
             F.col(f"_x.{node_col}").alias("context"),
