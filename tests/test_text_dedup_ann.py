@@ -239,6 +239,35 @@ def test_connected_components_chain_and_islands(spark):
                    20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
 
 
+def test_trigram_lm_preagg_and_two_scan_mode(spark):
+    """The scoring join must read per-(doc, trigram) COUNTS, not the raw
+    occurrence stream (VERDICT r4 #4), in both cache modes, with the
+    k-weighted mean equal to the plain mean of the old per-occurrence
+    formula."""
+    import math
+
+    from trajlib_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa"), (1, "abab")], "doc_id long, text string"
+    )
+    # trigrams: doc0 -> aaa, aaa (k=2); doc1 -> aba, bab. total = 4
+    expect = {
+        0: (2, round(math.log(2 / 4), 6) + 0.0),
+        1: (2, round((math.log(1 / 4) + math.log(1 / 4)) / 2, 6) + 0.0),
+    }
+    for cache in (True, False):
+        out = T.trigram_lm_score(docs, cache_trigrams=cache)
+        got = {r.doc_id: (r.n_trigrams, r.lm_score_r) for r in out.collect()}
+        assert got == expect, cache
+        # the join's build side is the model aggregate and its stream side
+        # is the per-doc count aggregate: an Aggregate node must sit BELOW
+        # the join in the optimized plan (i.e. after it in tree print)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        ji = plan.index("Join")
+        assert "Aggregate" in plan[ji:], plan
+
+
 def test_connected_components_long_chain_log_rounds(spark):
     """Pointer jumping must resolve a path-shaped component in ~log₂
     rounds: a 200-node chain (diameter 199) converges well inside the
