@@ -190,6 +190,17 @@ def _run_and_count(df) -> int:
     return len(df.toPandas())
 
 
+def _run_and_count_big(df) -> tuple[int, int]:
+    """(rows, skew_splits) for stages whose output is too large to pull to
+    the driver (the length-50 skip-gram table is ~300M rows at sf1): count
+    through an appended global aggregate — ONE QueryExecution whose
+    executed plan still contains the full pipeline, so the skew markers
+    are read from the counted frame itself."""
+    cnt = df.groupBy().count()
+    n = int(cnt.toPandas()["count"][0])
+    return n, _plan_skew_count(cnt)
+
+
 def sf1_pilot(sf_dir: str, cpus: int) -> dict:
     """Scale pilot (VERDICT r2 item 8): one pass at 10× the bench scale —
     20M-page flagship, 50k-doc minhash, 10×-trajectory measure_topk — to
@@ -302,14 +313,17 @@ def sf1_pilot(sf_dir: str, cpus: int) -> dict:
         t0 = time.time()
         walks50 = walk_ops.node2vec_walks(pairs, starts, walk_length=50,
                                           walks_per_node=10)
-        out["walks50_rows"] = _run_and_count(walks50)
-        out["walks50_sec"] = round(time.time() - t0, 2)
+        # checkpoint IS the timed materialization of the 49-join chain;
+        # the count then reads the checkpoint blocks instead of re-running
         w50 = walks50.localCheckpoint(eager=True)
+        out["walks50_sec"] = round(time.time() - t0, 2)
+        out["walks50_rows"] = int(w50.count())
         t0 = time.time()
         sg = walk_ops.skipgram_pairs(w50, window=10)
-        out["skipgrams50_rows"] = _run_and_count(sg)
+        out["skipgrams50_rows"], out["skipgrams50_skew_splits"] = (
+            _run_and_count_big(sg)
+        )
         out["skipgrams50_sec"] = round(time.time() - t0, 2)
-        out["skipgrams50_skew_splits"] = _plan_skew_count(sg)
         w50.unpersist()
         spark.catalog.clearCache()
 
