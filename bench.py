@@ -99,7 +99,7 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
         "embedding_near_dups", "measure_topk_lcss", "map_match", "cell_walks",
         "video_frames", "walk_skipgrams", "matched_edge_graph",
         "ann_ivf_recall", "dedup_components", "vocab_topk",
-        "tfidf_topterms", "lm_score", "similarity_all", "streaming_dedup",
+        "tfidf_topterms", "lm_score", "streaming_dedup",
     ]
     qs = E.queries()
     out = {}
