@@ -209,6 +209,34 @@ def test_similarity_operator_matches_kernel(spark, points):
     assert (d.i < d.j).all()
 
 
+def test_multi_measure_join_matches_single_measure_joins(spark, points):
+    """The one-pass multi-measure join must equal the four single-measure
+    joins pair-for-pair, with ε-match measures reading the z-scored
+    arrays and metric measures the raw ones."""
+    sub = points.where(F.col("traj_id") < 6)
+    polys = similarity.collect_polylines(sub)
+    both = similarity.normalize_polylines(polys, out_cols=("xs_n", "ys_n"))
+    multi = similarity.multi_measure_join(
+        both,
+        measures={
+            "lcss": ("lcss", 0.25), "edr": ("edr", 0.25),
+            "frechet": ("frechet", 0.0), "hausdorff": ("hausdorff", 0.0),
+        },
+        coord_cols={"lcss": ("xs_n", "ys_n"), "edr": ("xs_n", "ys_n")},
+    ).toPandas().set_index(["i", "j"]).sort_index()
+    normed = similarity.normalize_polylines(polys)
+    for measure, space in (("lcss", normed), ("edr", normed),
+                           ("frechet", polys), ("hausdorff", polys)):
+        single = (
+            similarity.similarity_join(space, measure, eps=0.25)
+            .toPandas().set_index(["i", "j"]).sort_index()
+        )
+        assert list(single.index) == list(multi.index)
+        np.testing.assert_allclose(
+            multi[measure].to_numpy(), single["dist"].to_numpy(), rtol=1e-12
+        )
+
+
 def test_federated_split_positional(spark):
     trajs = spark.createDataFrame([(str(i),) for i in range(10)], "traj_id string")
     out = segment.federated_split(trajs, 3).orderBy("traj_id")
