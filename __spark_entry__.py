@@ -2,7 +2,7 @@
 
 """Driver contract for the spark-graft builder (PySpark target).
 
-EVERY ``queries()`` entry has an ``oracle_sql()`` entry — 60/60:
+EVERY ``queries()`` entry has an ``oracle_sql()`` entry — 62/62:
 - SQL-expressible operators get equivalent DuckDB SQL over the same
   parquet views; parity-critical arithmetic lives once in
   trajlib_spark.sources.synth / trajlib_spark.config and is interpolated
@@ -102,6 +102,8 @@ from trajlib_spark.oracles import (
     SQL_SPATIAL_FEATURES,
     SQL_STAY_COLLAPSE,
     SQL_STREAMING_DEDUP,
+    SQL_STREAMING_SESSIONS,
+    SQL_STREAMING_TILES,
     SQL_SYMMETRIZE_NORM,
     SQL_TEXT_FEATURES,
     SQL_TFIDF_TOPTERMS,
@@ -559,6 +561,127 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # documented dropDuplicatesWithinWatermark edge (initial watermark treats
 # them as expired), so the replay starts a safe 30 years in
+
+
+def _replay_stream(spark: SparkSession, batch_dfs, make_query, schema: str) -> DataFrame:
+    """Deterministic micro-batch replay: write each batch as ONE parquet
+    file into a watched dir, processAllAvailable after each write (so the
+    watermark advances between batches exactly once per batch), return
+    the memory-sink table. Aggregation replays (sessions / tiles) are
+    arrival-order independent; dedup replays additionally pre-sort their
+    batches so the single-mapper shuffle preserves per-key order."""
+    import tempfile
+    import uuid
+
+    tmp = tempfile.mkdtemp(prefix="sreplay_")
+    src = os.path.join(tmp, "src")
+    batch_dfs = list(batch_dfs)
+    batch_dfs[0].coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    name = f"srp_{uuid.uuid4().hex[:8]}"
+    q = (
+        make_query(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for b in batch_dfs[1:]:
+            b.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic replay of the streaming trip sessionizer
+    (streaming/sessionize.py — session_window(360 s) + 30 min watermark):
+    batch 1 = every synthetic point as a (traj, ts) event, batches 2-3 =
+    one far-future dummy event each (+2 h, +2 h+1 s) whose only job is to
+    advance the watermark past every batch-1 session so append mode emits
+    them all, closed and final; the dummies' own sessions stay open and
+    never appear. Aggregation output is arrival-order independent, so the
+    survivor set is exactly the batch-1 session windows — replayed in
+    DuckDB with the same strict-< gap-merge semantics in ms arithmetic."""
+    from trajlib_spark.streaming.sessionize import streaming_sessions
+
+    pts = _points(spark, sf_dir)
+    mx = pts.agg(F.max("ts_ms")).collect()[0][0]
+    ev = pts.select(
+        F.col("traj_id").alias("user_id"),
+        F.timestamp_millis(F.lit(_SDEDUP_BASE * 1000) + F.col("ts_ms")).alias("ts"),
+    )
+    dummies = [
+        spark.range(1).select(
+            F.lit(-1 - k).cast("long").alias("user_id"),
+            F.timestamp_millis(
+                F.lit(_SDEDUP_BASE * 1000 + int(mx) + 7_200_000 + k * 1000)
+            ).alias("ts"),
+        )
+        for k in range(2)
+    ]
+    out = _replay_stream(
+        spark,
+        [ev, *dummies],
+        lambda s: streaming_sessions(s, key="user_id", ts="ts", gap_s=360,
+                                     watermark="30 minutes"),
+        "user_id long, ts timestamp",
+    )
+    return out.select(
+        "user_id",
+        F.unix_millis("window_start").alias("ws_ms"),
+        F.unix_millis("window_end").alias("we_ms"),
+        F.col("n_points").cast("long").alias("n_points"),
+        F.unix_millis("start_ts").alias("st_ms"),
+        F.unix_millis("end_ts").alias("en_ms"),
+    )
+
+
+def q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic replay of streaming tile counting (streaming/tiles.py
+    — 1 min tumbling windows + 10 min watermark over the SAME Catalyst
+    cell expressions as the batch path): batch 1 = every synthetic point,
+    batches 2-3 = one far-future dummy point each to push the watermark
+    past all batch-1 windows (the dummies' windows stay open and are
+    never emitted). Survivors = the batch-1 (window, cell) counts,
+    replayed in DuckDB as epoch-aligned ms floor-division."""
+    from trajlib_spark.config import PORTO_GRID
+    from trajlib_spark.streaming.tiles import streaming_tile_counts
+
+    pts = _points(spark, sf_dir)
+    mx = pts.agg(F.max("ts_ms")).collect()[0][0]
+    ev = pts.select(
+        "x", "y",
+        F.timestamp_millis(F.lit(_SDEDUP_BASE * 1000) + F.col("ts_ms")).alias("ts"),
+    )
+    cx, cy = PORTO_GRID.center
+    dummies = [
+        spark.range(1).select(
+            F.lit(float(cx)).alias("x"), F.lit(float(cy)).alias("y"),
+            F.timestamp_millis(
+                F.lit(_SDEDUP_BASE * 1000 + int(mx) + 7_200_000 + k * 1000)
+            ).alias("ts"),
+        )
+        for k in range(2)
+    ]
+    out = _replay_stream(
+        spark,
+        [ev, *dummies],
+        lambda s: streaming_tile_counts(s, G, ts="ts", window="1 minute",
+                                        watermark="10 minutes"),
+        "x double, y double, ts timestamp",
+    )
+    return out.select(
+        F.unix_millis("window_start").alias("ws_ms"),
+        "cell_id",
+        F.col("i_x").cast("long").alias("i_x"),
+        F.col("i_y").cast("long").alias("i_y"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1371,6 +1494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "newsimi_augment": q_newsimi_augment,
         "similarity_all": q_similarity_all,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_sessions": q_streaming_sessions,
+        "streaming_tiles": q_streaming_tiles,
         "measure_topk": q_measure_topk,
         "measure_topk_lcss": q_measure_topk_lcss,
         "measure_topk_edwp": q_measure_topk_edwp,
@@ -1472,6 +1597,8 @@ def _build_sql_oracles() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "text_features": SQL_TEXT_FEATURES,
         "streaming_dedup": SQL_STREAMING_DEDUP,
+        "streaming_sessions": SQL_STREAMING_SESSIONS,
+        "streaming_tiles": SQL_STREAMING_TILES,
         "ann_cosine": SQL_ANN_COSINE,
         "symmetrize_norm": SQL_SYMMETRIZE_NORM,
         "newsimi_raw": SQL_NEWSIMI_RAW,

@@ -645,6 +645,48 @@ SELECT doc_id, text_hash FROM ranked WHERE r = 1
 """
 
 
+# Streaming-sessionizer replay survivors: every batch-1 session, closed by
+# the dummy-advanced watermark. session_window merge is STRICT-< on the
+# gap (windows are end-exclusive), so a delta of exactly 360 000 ms breaks
+# the session; window_end = last event + gap. All ms arithmetic on BIGINT.
+SQL_STREAMING_SESSIONS = f"""
+WITH pts AS ({synth.points_sql('duckdb')}),
+ev AS (SELECT traj_id AS user_id, {_SDEDUP_BASE}::BIGINT * 1000 + ts_ms AS t FROM pts),
+o AS (
+  SELECT user_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt
+  FROM ev
+),
+m AS (
+  SELECT user_id, t,
+         CASE WHEN pt IS NULL OR t - pt >= 360000 THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+s AS (
+  SELECT user_id, t,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       min(t) AS ws_ms,
+       max(t) + 360000 AS we_ms,
+       CAST(count(*) AS BIGINT) AS n_points,
+       min(t) AS st_ms,
+       max(t) AS en_ms
+FROM s GROUP BY user_id, sid
+"""
+
+
+# Streaming tile-count replay survivors: batch-1 (1-minute epoch-aligned
+# window, cell) counts — Spark's window() start = ts − ts mod 60 s, which
+# is floor division for the positive post-2000 ms timestamps used here.
+SQL_STREAMING_TILES = f"""{_PRELUDE}
+SELECT CAST(floor(({_SDEDUP_BASE}::BIGINT * 1000 + ts_ms) / 60000) * 60000 AS BIGINT) AS ws_ms,
+       cell_id, i_x, i_y, CAST(count(*) AS BIGINT) AS cnt
+FROM cells
+GROUP BY 1, cell_id, i_x, i_y
+"""
+
 
 SQL_ANN_COSINE = """
 WITH ex AS (
