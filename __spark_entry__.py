@@ -2,7 +2,7 @@
 
 """Driver contract for the spark-graft builder (PySpark target).
 
-EVERY ``queries()`` entry has an ``oracle_sql()`` entry — 62/62:
+EVERY ``queries()`` entry has an ``oracle_sql()`` entry — 63/63:
 - SQL-expressible operators get equivalent DuckDB SQL over the same
   parquet views; parity-critical arithmetic lives once in
   trajlib_spark.sources.synth / trajlib_spark.config and is interpolated
@@ -103,6 +103,7 @@ from trajlib_spark.oracles import (
     SQL_STAY_COLLAPSE,
     SQL_STREAMING_DEDUP,
     SQL_STREAMING_SESSIONS,
+    SQL_STREAMING_STAY_COLLAPSE,
     SQL_STREAMING_TILES,
     SQL_SYMMETRIZE_NORM,
     SQL_TEXT_FEATURES,
@@ -682,6 +683,42 @@ def q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i_y").cast("long").alias("i_y"),
         F.col("cnt").cast("long").alias("cnt"),
     )
+
+
+def q_streaming_stay_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic replay of the custom stateful operator
+    (streaming/stateful.py — applyInPandasWithState stay-point collapse):
+    the synthetic points split into two micro-batches at the midpoint
+    timestamp, so each trajectory's leading batch-2 point exercises the
+    CROSS-BATCH state (dropped iff its cell equals the batch-1 tail's).
+    The UDF sorts each batch by (ts_ms, point_id) internally and the time
+    split preserves global order under concatenation, so the replay
+    equals the batch collapse exactly — oracled with the same lag-based
+    SQL as the batch operator. Cells are assigned at zoom 5 (32× coarser
+    than the base grid): at base resolution the synthetic trajectories
+    never revisit a cell consecutively, which would make the collapse an
+    identity; the coarse grid produces ~3% real drops, some straddling
+    the batch boundary (the cross-batch state path)."""
+    from trajlib_spark.streaming.stateful import streaming_stay_collapse
+
+    gz = G.at_zoom(5)
+    pc = _points_cells(spark, sf_dir).select(
+        F.col("traj_id").cast("string").alias("traj_id"),
+        "point_id", "ts_ms",
+        (
+            F.floor(F.col("i_x") / F.lit(32.0)) * F.lit(gz.y_size)
+            + F.floor(F.col("i_y") / F.lit(32.0))
+        ).cast("long").alias("cell_id"),
+    )
+    mx = pc.agg(F.max("ts_ms")).collect()[0][0]
+    half = int(mx) // 2
+    out = _replay_stream(
+        spark,
+        [pc.where(F.col("ts_ms") <= half), pc.where(F.col("ts_ms") > half)],
+        streaming_stay_collapse,
+        "traj_id string, point_id long, ts_ms long, cell_id long",
+    )
+    return out.select("traj_id", "point_id", "ts_ms", "cell_id")
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1495,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_all": q_similarity_all,
         "streaming_dedup": q_streaming_dedup,
         "streaming_sessions": q_streaming_sessions,
+        "streaming_stay_collapse": q_streaming_stay_collapse,
         "streaming_tiles": q_streaming_tiles,
         "measure_topk": q_measure_topk,
         "measure_topk_lcss": q_measure_topk_lcss,
@@ -1598,6 +1636,7 @@ def _build_sql_oracles() -> dict[str, str]:
         "text_features": SQL_TEXT_FEATURES,
         "streaming_dedup": SQL_STREAMING_DEDUP,
         "streaming_sessions": SQL_STREAMING_SESSIONS,
+        "streaming_stay_collapse": SQL_STREAMING_STAY_COLLAPSE,
         "streaming_tiles": SQL_STREAMING_TILES,
         "ann_cosine": SQL_ANN_COSINE,
         "symmetrize_norm": SQL_SYMMETRIZE_NORM,

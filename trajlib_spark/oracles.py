@@ -688,6 +688,25 @@ GROUP BY 1, cell_id, i_x, i_y
 """
 
 
+# Stateful stay-collapse replay: the two-batch time split preserves global
+# (ts_ms, point_id) order under concatenation, so the streaming result
+# equals the batch collapse — same lag-based SQL, point rows kept.
+SQL_STREAMING_STAY_COLLAPSE = f"""{_PRELUDE},
+coarse AS (
+  SELECT traj_id, point_id, ts_ms,
+         CAST(floor(CAST(i_x AS DOUBLE) / 32e0) * {G.at_zoom(5).y_size}
+              + floor(CAST(i_y AS DOUBLE) / 32e0) AS BIGINT) AS cell_id
+  FROM cells
+),
+flagged AS (
+  SELECT *, lag(cell_id) OVER (PARTITION BY traj_id ORDER BY ts_ms, point_id) AS prev_cell
+  FROM coarse
+)
+SELECT CAST(traj_id AS VARCHAR) AS traj_id, point_id, ts_ms, cell_id
+FROM flagged WHERE prev_cell IS NULL OR cell_id <> prev_cell
+"""
+
+
 SQL_ANN_COSINE = """
 WITH ex AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
