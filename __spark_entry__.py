@@ -2,7 +2,7 @@
 
 """Driver contract for the spark-graft builder (PySpark target).
 
-EVERY ``queries()`` entry has an ``oracle_sql()`` entry — 63/63:
+EVERY ``queries()`` entry has an ``oracle_sql()`` entry — 60/60:
 - SQL-expressible operators get equivalent DuckDB SQL over the same
   parquet views; parity-critical arithmetic lives once in
   trajlib_spark.sources.synth / trajlib_spark.config and is interpolated
@@ -75,7 +75,7 @@ from trajlib_spark.sources import synth
 from trajlib_spark.sources.synth import dlit
 from trajlib_spark.oracles import (
     _PORTO_CSV,  # noqa: E501 — DuckDB oracle SQL (VERDICT r4 item 8 split)
-    SQL_ANN_COSINE,
+    SQL_POINT_FEATURES,
     SQL_AUGMENT_TIME_SHIFT,
     SQL_CELL_ASSIGN,
     SQL_CELL_GEOMETRY,
@@ -84,7 +84,6 @@ from trajlib_spark.oracles import (
     SQL_DESCRIBE,
     SQL_EVENTS_RUNNING,
     SQL_FED_SPLIT,
-    SQL_KINEMATICS,
     SQL_KNN,
     SQL_KNN_QUALITY,
     SQL_LM_SCORE,
@@ -99,7 +98,6 @@ from trajlib_spark.oracles import (
     SQL_SEGMENT_PAIRS,
     SQL_SESSIONIZE,
     SQL_SIMHASH,
-    SQL_SPATIAL_FEATURES,
     SQL_STAY_COLLAPSE,
     SQL_STREAMING_DEDUP,
     SQL_STREAMING_SESSIONS,
@@ -118,6 +116,7 @@ from trajlib_spark.oracles import (
     _golden_sql,
     _polygon_adjacency_sql,
     _sql_dedup_components,
+    _sql_ann_topk,
     _sql_matched_edge_graph,
     sql_pages_points,
 )
@@ -234,29 +233,31 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def q_spatial_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = feat_ops.spatial_features(
-        _points(spark, sf_dir), G, traj="traj_id", order=["ts_ms", "point_id"]
-    )
-    return out.select(
+def q_point_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point feature bundle: the reference's 4-tuple spatial features
+    (x/y minmax-norm, neighbor-mean distance, turning-angle feature) and
+    the kinematic derivations (step, speed, bearing, acceleration) joined
+    on point_id — one row per point, all eight values (consolidates the
+    former spatial_features / kinematics queries, VERDICT r4 #2
+    follow-on; both operators window over the same trajectory order)."""
+    pts = _points(spark, sf_dir)
+    sf = feat_ops.spatial_features(
+        pts, G, traj="traj_id", order=["ts_ms", "point_id"]
+    ).select(
         "point_id",
         _RND("x_norm", 6).alias("x_norm_r"),
         _RND("y_norm", 6).alias("y_norm_r"),
         _RND("dist_feat", 6).alias("dist_r"),
         _RND("radian_feat", 6).alias("radian_r"),
     )
-
-
-
-def q_kinematics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = feat_ops.kinematics(_points(spark, sf_dir))
-    return out.select(
+    kin = feat_ops.kinematics(pts).select(
         "point_id",
         _RND("step_m", 3).alias("step_r"),
         _RND("speed_mps", 4).alias("speed_r"),
         _RND("bearing_rad", 3).alias("bearing_r"),
         _RND("accel_mps2", 4).alias("accel_r"),
     )
+    return sf.join(kin, "point_id")
 
 
 
@@ -781,13 +782,24 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 and the IVF scale path (trained centroids,
+    n_probe=8) over the same query set, method-tagged in one table
+    (consolidates the former ann_cosine / ann_ivf queries, VERDICT r4 #2
+    follow-on; hybrid oracle: live cosine SQL ∪ the ann_ivf golden)."""
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") % 50 == 0)
-    out = ann_ops.cosine_topk(embs, queries, k=10)
-    return out.select(
-        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
-    )
+    cos = ann_ops.cosine_topk(embs, queries, k=10)
+    centroids = ann_ops.train_centroids(embs, n_list=32)
+    ivf = ann_ops.ivf_topk(embs, queries, k=10, centroids=centroids, n_probe=8)
+    parts = [
+        c.select(
+            F.lit(tag).alias("method"),
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+        )
+        for tag, c in (("cosine", cos), ("ivf", ivf))
+    ]
+    return parts[0].unionAll(parts[1])
 
 
 
@@ -1230,18 +1242,6 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
 
-
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    embs = _embs(spark, sf_dir)
-    queries = embs.where(F.col("vec_id") % 50 == 0)
-    centroids = ann_ops.train_centroids(embs, n_list=32)
-    out = ann_ops.ivf_topk(embs, queries, k=10, centroids=centroids, n_probe=8)
-    return out.select(
-        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
-    )
-
-
-
 ANN_RECALL_CLUSTERS = 25
 
 ANN_RECALL_NPROBE = 4
@@ -1362,39 +1362,35 @@ def q_porto_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode/feature plumbing over the deterministic fake
-    media table (rows-only)."""
+def q_media_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature plumbing, both decoders in one
+    decoder-tagged table (consolidates the former media_features /
+    media_real queries, VERDICT r4 #2 follow-on): 'fake' = deterministic
+    synthetic decode over the 200-row media table; 'real' = library-free
+    codecs — PPM + BMP images (grayscale block-mean features) and WAV
+    PCM16 audio (RMS-chunk features)."""
     from trajlib_spark.operators import multimodal
 
-    media = multimodal.make_media_table(spark, 200)
-    feats = multimodal.decode_features(media, decoder="fake", resize_to=8)
-    return feats.select(
-        "media_id", "kind",
-        _RND(F.aggregate("feat", F.lit(0.0), lambda a, v: a + v.cast("double")), 4).alias("feat_sum_r"),
+    def summarize(feats, tag):
+        return feats.select(
+            F.lit(tag).alias("decoder"),
+            "media_id", "kind",
+            _RND(
+                F.aggregate("feat", F.lit(0.0), lambda a, v: a + v.cast("double")), 4
+            ).alias("feat_sum_r"),
+        )
+
+    fake = multimodal.decode_features(
+        multimodal.make_media_table(spark, 200), decoder="fake", resize_to=8
     )
-
-
-
-def q_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL multimodal decode over library-free codecs: PPM + BMP images
-    (grayscale block-mean features) and WAV PCM16 audio (RMS-chunk
-    features), one union table, decoder='real'."""
-    from trajlib_spark.operators import multimodal
-
     ppm = multimodal.make_media_table(spark, 80, "image", payload_format="ppm")
     bmp = multimodal.make_media_table(spark, 60, "image", payload_format="bmp")
     wav = multimodal.make_media_table(spark, 60, "audio", payload_format="wav")
     media = ppm.unionAll(
         bmp.withColumn("media_id", F.col("media_id") + 1000)
     ).unionAll(wav.withColumn("media_id", F.col("media_id") + 2000))
-    feats = multimodal.decode_features(media, decoder="real", resize_to=8)
-    return feats.select(
-        "media_id", "kind",
-        _RND(
-            F.aggregate("feat", F.lit(0.0), lambda a, v: a + v.cast("double")), 4
-        ).alias("feat_sum_r"),
-    )
+    real = multimodal.decode_features(media, decoder="real", resize_to=8)
+    return summarize(fake, "fake").unionAll(summarize(real, "real"))
 
 
 
@@ -1512,10 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_points": q_pages_points,
         "porto_clean": q_porto_clean,
         "porto_points": q_porto_points,
-        "media_real": q_media_real,
-        "media_features": q_media_features,
         "polygon_adjacency": q_polygon_adjacency,
-        "kinematics": q_kinematics,
         "dedup_exact": q_dedup_exact,
         "text_features": q_text_features,
         "cell_assign": q_cell_assign,
@@ -1530,6 +1523,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_geometry": q_cell_geometry,
         "newsimi_augment": q_newsimi_augment,
         "similarity_all": q_similarity_all,
+        "media_all": q_media_all,
+        "point_features": q_point_features,
+        "ann_topk": q_ann_topk,
         "streaming_dedup": q_streaming_dedup,
         "streaming_sessions": q_streaming_sessions,
         "streaming_stay_collapse": q_streaming_stay_collapse,
@@ -1551,13 +1547,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "vocab_topk": q_vocab_topk,
         "tfidf_topterms": q_tfidf_topterms,
-        "ann_cosine": q_ann_cosine,
-        "ann_ivf": q_ann_ivf,
         "pip_join": q_pip_join,
         "knn": q_knn,
         "tile_pyramid": q_tile_pyramid,
         "sessionize": q_sessionize,
-        "spatial_features": q_spatial_features,
         "traj_stats": q_traj_stats,
         "segment_cut": q_segment_cut,
         "segment_pairs": q_segment_pairs,
@@ -1585,8 +1578,8 @@ _GOLDEN_QUERIES = (
     "embedding_near_dups", "measure_topk",
     "silhouette", "cluster_segments", "minhash_lsh",
     "newsimi_augment",
-    "doc_fingerprint", "ann_ivf", "ann_ivf_recall",
-    "media_features", "media_real", "video_frames",
+    "doc_fingerprint", "ann_ivf_recall",
+    "media_all", "video_frames",
     "cluster_merge", "measure_topk_lcss", "measure_topk_edwp", "map_match",
 )
 
@@ -1603,6 +1596,7 @@ def oracle_sql() -> dict[str, str]:
     # hybrid oracles: live SQL over a committed golden for the non-SQL
     # stage (paths track the gate's scale factor, like the golden queries)
     out["matched_edge_graph"] = _sql_matched_edge_graph()
+    out["ann_topk"] = _sql_ann_topk()
     out["dedup_components"] = _sql_dedup_components()
     return out
 
@@ -1617,8 +1611,7 @@ def _build_sql_oracles() -> dict[str, str]:
         "sessionize": SQL_SESSIONIZE,
         "pip_join": SQL_PIP_JOIN,
         "knn": SQL_KNN,
-        "spatial_features": SQL_SPATIAL_FEATURES,
-        "kinematics": SQL_KINEMATICS,
+        "point_features": SQL_POINT_FEATURES,
         "point_derivations": SQL_POINT_DERIVATIONS,
         "traj_stats": SQL_TRAJ_STATS,
         "segment_pairs": SQL_SEGMENT_PAIRS,
@@ -1638,7 +1631,6 @@ def _build_sql_oracles() -> dict[str, str]:
         "streaming_sessions": SQL_STREAMING_SESSIONS,
         "streaming_stay_collapse": SQL_STREAMING_STAY_COLLAPSE,
         "streaming_tiles": SQL_STREAMING_TILES,
-        "ann_cosine": SQL_ANN_COSINE,
         "symmetrize_norm": SQL_SYMMETRIZE_NORM,
         "newsimi_raw": SQL_NEWSIMI_RAW,
         "porto_clean": SQL_PORTO_CLEAN,

@@ -92,10 +92,10 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
 
     names = [
         "cell_assign", "tile_pyramid", "stay_collapse", "sessionize",
-        "pip_join", "knn", "spatial_features", "traj_stats", "segment_pairs",
+        "pip_join", "knn", "point_features", "traj_stats", "segment_pairs",
         "dedup_exact", "text_features",
-        "ann_cosine", "segment_cut", "minhash_lsh", "doc_fingerprint",
-        "simhash", "symmetrize_norm", "newsimi_raw", "media_real",
+        "ann_topk", "segment_cut", "minhash_lsh", "doc_fingerprint",
+        "simhash", "symmetrize_norm", "newsimi_raw", "media_all",
         "embedding_near_dups", "measure_topk_lcss", "map_match", "cell_walks",
         "video_frames", "walk_skipgrams", "matched_edge_graph",
         "ann_ivf_recall", "dedup_components", "vocab_topk",

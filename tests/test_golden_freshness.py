@@ -22,7 +22,7 @@ GOLD = os.path.join(os.path.dirname(__file__), "golden", "oracle", "sf0.001")
 # they now have LIVE DuckDB SQL oracles instead of committed goldens
 CASES = [
     "segment_cut", "similarity_all", "minhash_lsh", "video_frames",
-    "ann_ivf", "ann_ivf_recall", "measure_topk_lcss", "media_real",
+    "ann_ivf", "ann_ivf_recall", "measure_topk_lcss", "media_all",
     "embedding_near_dups", "newsimi_augment", "cluster_merge",
 ]
 

@@ -971,6 +971,17 @@ def g_media_real(sf_dir: str) -> pd.DataFrame:
 
 # --------------------------------------------------------------------------
 
+def g_media_all(sf_dir: str) -> pd.DataFrame:
+    """Decoder-tagged union of the fake + real media feature summaries
+    (the merged oracle of the two single-decoder queries)."""
+    parts = []
+    for tag, fn in (("fake", g_media_features), ("real", g_media_real)):
+        f = fn(sf_dir)
+        f.insert(0, "decoder", tag)
+        parts.append(f)
+    return pd.concat(parts, ignore_index=True)
+
+
 GENERATORS = {
     "segment_cut": g_segment_cut,
     "rdp_simplify": g_rdp_simplify,
@@ -988,8 +999,7 @@ GENERATORS = {
     "doc_fingerprint": g_doc_fingerprint,
     "ann_ivf": g_ann_ivf,
     "ann_ivf_recall": g_ann_ivf_recall,
-    "media_features": g_media_features,
-    "media_real": g_media_real,
+    "media_all": g_media_all,
     "video_frames": g_video_frames,
     "map_match": g_map_match,
 }

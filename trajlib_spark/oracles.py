@@ -179,57 +179,6 @@ WHERE rank <= 5
 
 
 
-SQL_SPATIAL_FEATURES = f"""
-WITH pts AS ({synth.points_sql('duckdb')}),
-nbr AS (
-  SELECT point_id, x, y,
-         lag(x) OVER w AS xp, lag(y) OVER w AS yp,
-         lead(x) OVER w AS xn, lead(y) OVER w AS yn
-  FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY ts_ms, point_id)
-)
-SELECT point_id,
-  (round((x - {_L(G.x_min)}) / {_L(G.x_max - G.x_min)}, 6) + 0e0) AS x_norm_r,
-  (round((y - {_L(G.y_min)}) / {_L(G.y_max - G.y_min)}, 6) + 0e0) AS y_norm_r,
-  (round(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL THEN
-    ((sqrt((x - xp) * (x - xp) + (y - yp) * (y - yp))
-      + sqrt((xn - x) * (xn - x) + (yn - y) * (yn - y))) / 2.0e0) / {_L(DIST_FEATURE_SCALE)}
-    ELSE 0.0e0 END, 6) + 0e0) AS dist_r,
-  (round(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL THEN
-    1.0e0 - abs({_L(3.141592653589793)} - atan2(xp - x, yp - y) + atan2(xn - x, yn - y))
-      / {_L(3.141592653589793)}
-    ELSE 0.0e0 END, 6) + 0e0) AS radian_r
-FROM nbr
-"""
-
-
-
-SQL_KINEMATICS = f"""
-WITH pts AS ({synth.points_sql('duckdb')}),
-nbr AS (
-  SELECT point_id, traj_id, ts_ms, x, y,
-         lag(x) OVER w AS xp, lag(y) OVER w AS yp, lag(ts_ms) OVER w AS tp
-  FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY ts_ms, point_id)
-),
-sp AS (
-  SELECT point_id, traj_id, ts_ms, x, y, xp, yp, tp,
-         (ts_ms - tp) / 1000.0e0 AS dt_s,
-         CASE WHEN (ts_ms - tp) / 1000.0e0 > 0
-              THEN sqrt((x - xp) * (x - xp) + (y - yp) * (y - yp))
-                   / ((ts_ms - tp) / 1000.0e0) END AS speed
-  FROM nbr
-)
-SELECT point_id,
-  (round(sqrt((x - xp) * (x - xp) + (y - yp) * (y - yp)), 3) + 0e0) AS step_r,
-  (round(speed, 4) + 0e0) AS speed_r,
-  (round(atan2(y - yp, x - xp), 3) + 0e0) AS bearing_r,
-  (round(CASE WHEN dt_s > 0
-        THEN (speed - lag(speed) OVER (PARTITION BY traj_id ORDER BY ts_ms, point_id)) / dt_s
-        END, 4) + 0e0) AS accel_r
-FROM sp
-"""
-
-
-
 SQL_POINT_DERIVATIONS = f"""
 WITH pts AS ({synth.points_sql('duckdb')}),
 nbr AS (
@@ -707,7 +656,49 @@ FROM flagged WHERE prev_cell IS NULL OR cell_id <> prev_cell
 """
 
 
-SQL_ANN_COSINE = """
+# Merged per-point feature bundle: the spatial_features and kinematics
+# formulas over ONE shared neighbor window, joined on point_id.
+SQL_POINT_FEATURES = f"""
+WITH pts AS ({synth.points_sql('duckdb')}),
+nbr AS (
+  SELECT point_id, traj_id, ts_ms, x, y,
+         lag(x) OVER w AS xp, lag(y) OVER w AS yp, lag(ts_ms) OVER w AS tp,
+         lead(x) OVER w AS xn, lead(y) OVER w AS yn
+  FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY ts_ms, point_id)
+),
+sp AS (
+  SELECT *, (ts_ms - tp) / 1000.0e0 AS dt_s,
+         CASE WHEN (ts_ms - tp) / 1000.0e0 > 0
+              THEN sqrt((x - xp) * (x - xp) + (y - yp) * (y - yp))
+                   / ((ts_ms - tp) / 1000.0e0) END AS speed
+  FROM nbr
+)
+SELECT point_id,
+  (round((x - {_L(G.x_min)}) / {_L(G.x_max - G.x_min)}, 6) + 0e0) AS x_norm_r,
+  (round((y - {_L(G.y_min)}) / {_L(G.y_max - G.y_min)}, 6) + 0e0) AS y_norm_r,
+  (round(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL THEN
+    ((sqrt((x - xp) * (x - xp) + (y - yp) * (y - yp))
+      + sqrt((xn - x) * (xn - x) + (yn - y) * (yn - y))) / 2.0e0) / {_L(DIST_FEATURE_SCALE)}
+    ELSE 0.0e0 END, 6) + 0e0) AS dist_r,
+  (round(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL THEN
+    1.0e0 - abs({_L(3.141592653589793)} - atan2(xp - x, yp - y) + atan2(xn - x, yn - y))
+      / {_L(3.141592653589793)}
+    ELSE 0.0e0 END, 6) + 0e0) AS radian_r,
+  (round(sqrt((x - xp) * (x - xp) + (y - yp) * (y - yp)), 3) + 0e0) AS step_r,
+  (round(speed, 4) + 0e0) AS speed_r,
+  (round(atan2(y - yp, x - xp), 3) + 0e0) AS bearing_r,
+  (round(CASE WHEN dt_s > 0
+        THEN (speed - lag(speed) OVER (PARTITION BY traj_id ORDER BY ts_ms, point_id)) / dt_s
+        END, 4) + 0e0) AS accel_r
+FROM sp
+"""
+
+
+def _sql_ann_topk() -> str:
+    """HYBRID oracle for the merged exact+IVF top-k query: the cosine half
+    is live SQL; the IVF half (kmeans-style trained centroids + probe
+    join, not SQL-expressible) reads the committed ann_ivf golden."""
+    return f"""
 WITH ex AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
          generate_subscripts(embedding, 1) AS i
@@ -720,12 +711,18 @@ dots AS (
   FROM ex a JOIN ex b ON a.i = b.i
   WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
   GROUP BY a.vec_id, b.vec_id
+),
+cosr AS (
+  SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY dot / (na * nb) DESC, neighbor_id) AS rank
+    FROM dots
+  ) r WHERE rank <= 10
 )
-SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
-  SELECT query_id, neighbor_id,
-         row_number() OVER (PARTITION BY query_id ORDER BY dot / (na * nb) DESC, neighbor_id) AS rank
-  FROM dots
-) r WHERE rank <= 10
+SELECT 'cosine' AS method, query_id, neighbor_id, rank FROM cosr
+UNION ALL
+SELECT 'ivf', query_id, neighbor_id, rank
+FROM read_parquet('{_golden_dir()}/ann_ivf.parquet')
 """
 
 
