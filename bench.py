@@ -505,6 +505,13 @@ def main() -> None:
                     if "sf1" in result else ""
                 )
         )
+    # curated analysis notes survive reruns: BASELINE.md is regenerated
+    # from scratch each run, so round-over-round attribution lives in
+    # BENCH/NOTES.md and is re-appended here
+    notes = os.path.join("BENCH", "NOTES.md")
+    if os.path.exists(notes):
+        with open("BENCH/BASELINE.md", "a") as f:
+            f.write("\n" + open(notes).read())
     log("wrote BENCH/BASELINE.md")
     print(json.dumps(result))
 
