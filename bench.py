@@ -318,6 +318,13 @@ def sf1_pilot(sf_dir: str, cpus: int) -> dict:
         w50 = walks50.localCheckpoint(eager=True)
         out["walks50_sec"] = round(time.time() - t0, 2)
         out["walks50_rows"] = int(w50.count())
+        # the broadcast-adjacency Arrow fast path at the same shape
+        # (bit-identical walks; the right plan for metadata-scale graphs)
+        t0 = time.time()
+        wa = walk_ops.node2vec_walks(pairs, starts, walk_length=50,
+                                     walks_per_node=10, impl="arrow")
+        out["walks50_arrow_rows"], _ = _run_and_count_big(wa)
+        out["walks50_arrow_sec"] = round(time.time() - t0, 2)
         t0 = time.time()
         sg = walk_ops.skipgram_pairs(w50, window=10)
         out["skipgrams50_rows"], out["skipgrams50_skew_splits"] = (

@@ -33,6 +33,26 @@ def test_walks_match_python_replica(spark, pairs):
     assert len(got) == 4 * 3 * 8
 
 
+def test_arrow_walks_bit_identical_to_join_chain(spark, pairs):
+    """The broadcast-adjacency Arrow fast path must emit exactly the same
+    (walk_id, pos, cell_id) rows as the join-chain implementation — same
+    sorted-neighbor ordering, same integer hash chooser."""
+    starts = spark.createDataFrame(
+        [(5,), (100,), (2481,), (7000,)], "cell_id long"
+    )
+    chain = sorted(
+        (r.walk_id, r.pos, r.cell_id)
+        for r in walks.node2vec_walks(pairs, starts, 10, 3).collect()
+    )
+    arrow = sorted(
+        (r.walk_id, r.pos, r.cell_id)
+        for r in walks.node2vec_walks(pairs, starts, 10, 3, impl="arrow").collect()
+    )
+    assert arrow == chain
+    with pytest.raises(ValueError):
+        walks.node2vec_walks(pairs, starts, 4, 1, impl="nope")
+
+
 def test_walks_plan_shape(spark, pairs):
     """All walk-step joins are broadcast hash joins (the cell graph is
     metadata-scale); no cross join, no shuffle join in the chain."""
