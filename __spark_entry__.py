@@ -30,17 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-from trajlib_spark.config import (
-    DIST_FEATURE_SCALE,
-    MAX_LAT,
-    MAX_LON,
-    MAX_TRAJ_LEN,
-    MIN_LAT,
-    MIN_LON,
-    MIN_TRAJ_LEN,
-    PORTO_GRID,
-    SESSION_GAP_S,
-)
+from trajlib_spark.config import PORTO_GRID, SESSION_GAP_S
 
 from trajlib_spark.operators import ann as ann_ops
 
