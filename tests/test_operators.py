@@ -237,6 +237,27 @@ def test_multi_measure_join_matches_single_measure_joins(spark, points):
         )
 
 
+def test_multi_measure_join_single_kernel_pass(spark, points):
+    """PLANS.md claim, machine-checked: the multi-measure join runs ONE
+    Arrow kernel pass (one MapInPandas node) and joins the polyline table
+    twice (left/right side), never once per measure."""
+    sub = points.where(F.col("traj_id") < 6)
+    both = similarity.normalize_polylines(
+        similarity.collect_polylines(sub), out_cols=("xs_n", "ys_n")
+    ).withColumn("fed_id", F.col("traj_id") % 2)
+    out = similarity.multi_measure_join(
+        both,
+        measures={"lcss": ("lcss", 0.25), "frechet": ("frechet", 0.0)},
+        coord_cols={"lcss": ("xs_n", "ys_n")},
+        block_col="fed_id",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan
+    # blocked pair space stays an equi-join (the unblocked form is an
+    # intentional upper-triangular crossJoin and is not used by queries)
+    assert not _plan_has_cross_join(out)
+
+
 def test_federated_split_positional(spark):
     trajs = spark.createDataFrame([(str(i),) for i in range(10)], "traj_id string")
     out = segment.federated_split(trajs, 3).orderBy("traj_id")
