@@ -1193,7 +1193,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup_ops.minhash_signatures(docs)
     cands = dedup_ops.lsh_candidates(sigs)
     return dedup_ops.ngram_jaccard_verify(docs, cands, threshold=0.5).select(
-        "i", "j", _RND("jaccard", 4).alias("jaccard_r")
+        "i", "j", _RND("jaccard", 6).alias("jaccard_r")
     )
 
 

@@ -115,6 +115,24 @@ def _indep_greedy_merge(centroids: list, eps: float) -> list:
     singles = [[i] for i in range(len(centroids)) if i not in used]
     return singles + merged_groups
 
+
+def spark_round(v, n: int) -> float:
+    """Round the way Spark AND DuckDB do — HALF_UP on the value's shortest
+    decimal representation (both engines use the decimal string of the
+    double, measured: 157/160 → 0.9813 at 4 dp in both) — unlike python's
+    builtin round(), which rounds the exact binary value (→ 0.9812) and
+    silently diverges whenever the shortest repr ends in 5 at the rounding
+    digit. Every golden VALUE must use this, or a boundary value flips the
+    driver gate (bit us at sf0.001 minhash before this helper existed)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    v = float(v)
+    if not math.isfinite(v):
+        return v
+    q = Decimal(repr(v)).quantize(Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP)
+    return float(q)
+
 G = PORTO_GRID
 OUT_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                         "tests", "golden", "oracle")
@@ -209,7 +227,7 @@ def g_similarity_edwp(sf_dir: str) -> pd.DataFrame:
     pls = polylines(load_points(sf_dir))
     n_blocks = max(5, len(pls) // 6)
     rows = [
-        (i, j, (round(edwp_distance_vec(pls[i], pls[j]), 3) + 0e0))
+        (i, j, (spark_round(edwp_distance_vec(pls[i], pls[j]), 3) + 0e0))
         for i, j in _block_pairs(list(pls), lambda t: t % n_blocks)
     ]
     return pd.DataFrame(rows, columns=["i", "j", "dist_r"]).astype(
@@ -226,7 +244,7 @@ def g_similarity_lcss(sf_dir: str) -> pd.DataFrame:
         for t, tr in polylines(pts).items()
     }
     rows = [
-        (i, j, (round(lcss_distance_vec(pls[i], pls[j], 0.25), 6) + 0e0))
+        (i, j, (spark_round(lcss_distance_vec(pls[i], pls[j], 0.25), 6) + 0e0))
         for i, j in _block_pairs(list(pls), lambda t: t % 5)
     ]
     return pd.DataFrame(rows, columns=["i", "j", "dist_r"]).astype(
@@ -237,7 +255,7 @@ def g_similarity_lcss(sf_dir: str) -> pd.DataFrame:
 def _pair_frame(sf_dir: str, kern, digits: int) -> pd.DataFrame:
     pls = polylines(load_points(sf_dir))
     rows = [
-        (i, j, (round(kern(pls[i], pls[j]), digits) + 0e0))
+        (i, j, (spark_round(kern(pls[i], pls[j]), digits) + 0e0))
         for i, j in _block_pairs(list(pls), lambda t: t % 5)
     ]
     return pd.DataFrame(rows, columns=["i", "j", "dist_r"]).astype(
@@ -256,7 +274,7 @@ def g_similarity_edr(sf_dir: str) -> pd.DataFrame:
         for t, tr in polylines(pts).items()
     }
     rows = [
-        (i, j, (round(edr_distance_vec(pls[i], pls[j], 0.25), 6) + 0e0))
+        (i, j, (spark_round(edr_distance_vec(pls[i], pls[j], 0.25), 6) + 0e0))
         for i, j in _block_pairs(list(pls), lambda t: t % 5)
     ]
     return pd.DataFrame(rows, columns=["i", "j", "dist_r"]).astype(
@@ -314,7 +332,7 @@ def g_embedding_near_dups(sf_dir: str, threshold: float = 0.95,
         a, b = idx[i], idx[j]
         cos = float(X[a] @ X[b] / (norms[a] * norms[b]))
         if cos >= threshold:
-            rows.append((i, j, (round(cos, 6) + 0e0)))
+            rows.append((i, j, (spark_round(cos, 6) + 0e0)))
     # recall certificate: the LSH-verified set must EQUAL the brute-force
     # >= threshold pair set (all planted exact + near dups recovered); a
     # miss here means n_tables/n_planes need retuning, not a weaker golden
@@ -358,10 +376,10 @@ def g_similarity_all(sf_dir: str) -> pd.DataFrame:
     rows = [
         (
             i, j,
-            (round(lcss_distance_vec(norm[i], norm[j], 0.25), 6) + 0e0),
-            (round(edr_distance_vec(norm[i], norm[j], 0.25), 6) + 0e0),
-            (round(discrete_frechet(raw[i], raw[j]), 3) + 0e0),
-            (round(hausdorff_distance(raw[i], raw[j]), 3) + 0e0),
+            (spark_round(lcss_distance_vec(norm[i], norm[j], 0.25), 6) + 0e0),
+            (spark_round(edr_distance_vec(norm[i], norm[j], 0.25), 6) + 0e0),
+            (spark_round(discrete_frechet(raw[i], raw[j]), 3) + 0e0),
+            (spark_round(hausdorff_distance(raw[i], raw[j]), 3) + 0e0),
         )
         for i, j in _block_pairs(list(raw), lambda t: t % 5)
     ]
@@ -379,7 +397,7 @@ def g_measure_topk(sf_dir: str, k: int = 5, every: int = 30) -> pd.DataFrame:
             (hausdorff_distance(pls[q], pls[j]), j) for j in pls if j != q
         )
         for r, (d, j) in enumerate(scored[:k], start=1):
-            rows.append((q, j, r, (round(d, 3) + 0e0)))
+            rows.append((q, j, r, (spark_round(d, 3) + 0e0)))
     return pd.DataFrame(
         rows, columns=["query_id", "neighbor_id", "rank", "dist_r"]
     ).astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
@@ -395,7 +413,7 @@ def g_measure_topk_edwp(sf_dir: str, k: int = 5, every: int = 30) -> pd.DataFram
             (edwp_distance_vec(pls[q], pls[j]), j) for j in pls if j != q
         )
         for r, (d, j) in enumerate(scored[:k], start=1):
-            rows.append((q, j, r, (round(d, 3) + 0e0)))
+            rows.append((q, j, r, (spark_round(d, 3) + 0e0)))
     return pd.DataFrame(
         rows, columns=["query_id", "neighbor_id", "rank", "dist_r"]
     ).astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
@@ -417,7 +435,7 @@ def g_measure_topk_lcss(sf_dir: str, k: int = 5, every: int = 30) -> pd.DataFram
             (lcss_distance_vec(pls[q], pls[j], 0.25), j) for j in pls if j != q
         )
         for r, (d, j) in enumerate(scored[:k], start=1):
-            rows.append((q, j, r, (round(d, 6) + 0e0)))
+            rows.append((q, j, r, (spark_round(d, 6) + 0e0)))
     return pd.DataFrame(
         rows, columns=["query_id", "neighbor_id", "rank", "dist_r"]
     ).astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
@@ -442,7 +460,7 @@ def _newsimi_summary_frame(qs: dict, dbs: dict) -> pd.DataFrame:
         for t, v in d.items():
             if len(v) == 0:
                 continue
-            rows.append((role, t, len(v), (round(v[0, 0], 4) + 0e0), (round(v[-1, 1], 4) + 0e0)))
+            rows.append((role, t, len(v), (spark_round(v[0, 0], 4) + 0e0), (spark_round(v[-1, 1], 4) + 0e0)))
     return pd.DataFrame(
         rows, columns=["role", "traj_id", "n_pts", "x0_r", "yl_r"]
     ).astype({"traj_id": "int64", "n_pts": "int64"})
@@ -562,8 +580,8 @@ def g_cluster_merge(sf_dir: str) -> pd.DataFrame:
         mids = np.concatenate([clusters[m][2] for m in members])
         cx, cy = mids.mean(axis=0)
         radius = float(np.sqrt(((mids - [cx, cy]) ** 2).sum(axis=1)).max())
-        rows.append((gid, len(mids), (round(cx, 2) + 0e0),
-                     (round(cy, 2) + 0e0), (round(radius, 2) + 0e0)))
+        rows.append((gid, len(mids), (spark_round(cx, 2) + 0e0),
+                     (spark_round(cy, 2) + 0e0), (spark_round(radius, 2) + 0e0)))
     return pd.DataFrame(
         rows, columns=["global_cluster", "size", "centroid_x_r",
                        "centroid_y_r", "radius_r"],
@@ -581,7 +599,7 @@ def g_silhouette(sf_dir: str) -> pd.DataFrame:
     sil = silhouette_from_matrix(dist, labels)
     return pd.DataFrame(
         {"n": np.array([len(labels)], dtype="int64"),
-         "silhouette_r": [(round(sil, 4) + 0e0)]}
+         "silhouette_r": [(spark_round(sil, 4) + 0e0)]}
     )
 
 
@@ -627,7 +645,7 @@ def g_minhash_lsh(sf_dir: str, num_perm: int = 64, bands: int = 16,
         union = sh[i].size + sh[j].size - inter
         jac = inter / union if union else 1.0
         if jac >= threshold:
-            rows.append((i, j, (round(jac, 4) + 0e0)))
+            rows.append((i, j, (spark_round(jac, 6) + 0e0)))
     return pd.DataFrame(rows, columns=["i", "j", "jaccard_r"]).astype(
         {"i": "int64", "j": "int64"}
     )
@@ -754,7 +772,7 @@ def g_ann_ivf_recall(sf_dir: str, n_clusters: int = 25, n_probe: int = 4,
         approx = set(topk_ids(probed))
         exact = topk_ids(range(len(ids)))
         n_hit = sum(1 for nid in exact if nid in approx)
-        out.append((int(ids[qi]), n_hit, (round(n_hit / len(exact), 4) + 0e0)))
+        out.append((int(ids[qi]), n_hit, (spark_round(n_hit / len(exact), 4) + 0e0)))
     return pd.DataFrame(out, columns=["query_id", "n_hit", "recall_r"]).astype(
         {"query_id": "int64", "n_hit": "int64"}
     )
@@ -800,7 +818,7 @@ def g_video_frames(sf_dir: str, n: int = 60, n_samples: int = 4,
             acc = 0.0
             for v in f32:  # exact left fold, like Catalyst F.aggregate
                 acc = acc + float(v)
-            rows.append((i, fi, (round(acc, 4) + 0e0)))
+            rows.append((i, fi, (spark_round(acc, 4) + 0e0)))
     return pd.DataFrame(
         rows, columns=["media_id", "frame_idx", "feat_sum_r"]
     ).astype({"media_id": "int64", "frame_idx": "int64"})
@@ -925,7 +943,7 @@ def g_media_features(sf_dir: str, n: int = 200, resize_to: int = 8) -> pd.DataFr
         arr = np.frombuffer(payload, dtype=np.uint8)
         reps = -(-(w * h) // len(arr))  # ceil division
         img = np.tile(arr, reps)[: w * h].reshape(h, w).astype(np.float64)
-        rows.append((i, "image", (round(_indep_block_mean_sum(img, resize_to), 4) + 0e0)))
+        rows.append((i, "image", (spark_round(_indep_block_mean_sum(img, resize_to), 4) + 0e0)))
     return pd.DataFrame(rows, columns=["media_id", "kind", "feat_sum_r"]).astype(
         {"media_id": "int64"}
     )
@@ -963,7 +981,7 @@ def g_media_real(sf_dir: str) -> pd.DataFrame:
                 acc = 0.0
                 for v in f32:
                     acc = acc + float(v)
-            rows.append((i + off, kind, (round(acc, 4) + 0e0)))
+            rows.append((i + off, kind, (spark_round(acc, 4) + 0e0)))
     return pd.DataFrame(rows, columns=["media_id", "kind", "feat_sum_r"]).astype(
         {"media_id": "int64"}
     )
