@@ -102,7 +102,13 @@ def trips_to_points(trips: DataFrame) -> DataFrame:
         {
             "x": merc_x(F.col("lon")),
             "y": merc_y(F.col("lat")),
-            "point_id": F.monotonically_increasing_id(),
+            # content-derived id: deterministic under ANY partition layout
+            # or core count (monotonically_increasing_id encodes the
+            # partition index and silently changes when the scan splits
+            # differently); (traj_id, pos) is unique by construction, so
+            # the 64-bit hash is unique w.h.p. and point_id stays a valid
+            # tie-break — within a trajectory ts_ms already orders points
+            "point_id": F.xxhash64(F.col("traj_id"), F.col("pos")),
         }
     )
 
