@@ -21,6 +21,7 @@ from __future__ import annotations
 
 
 import os
+import shutil
 
 from collections.abc import Callable
 
@@ -586,6 +587,9 @@ def _replay_stream(spark: SparkSession, batch_dfs, make_query, schema: str) -> D
             q.processAllAvailable()
     finally:
         q.stop()
+    # the memory sink holds the rows driver-side; the source/checkpoint
+    # files are dead weight once the query stops
+    shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(name)
 
 
@@ -768,6 +772,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()  # micro-batch 2: stateful cross-batch dedup
     finally:
         q.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(name).select("doc_id", "text_hash")
 
 
