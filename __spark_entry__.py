@@ -1,5 +1,3 @@
-
-
 """Driver contract for the spark-graft builder (PySpark target).
 
 EVERY ``queries()`` entry has an ``oracle_sql()`` entry — 60/60:
@@ -118,7 +116,6 @@ G = PORTO_GRID
 _L = dlit
 
 
-
 def _RND(col, n):
     """round() that never emits IEEE -0.0.
 
@@ -131,7 +128,6 @@ def _RND(col, n):
     return F.round(col, n) + F.lit(0.0)
 
 
-
 # ---------------------------------------------------------------------------
 # shared helpers
 # ---------------------------------------------------------------------------
@@ -140,20 +136,16 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synth.synthetic_points(spark, sf_dir)
 
 
-
 def _points_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell_ops.with_cell(_points(spark, sf_dir), G)
-
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-
 
 
 # ---------------------------------------------------------------------------
@@ -170,17 +162,14 @@ def q_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _points_cells(spark, sf_dir).select("point_id", "i_x", "i_y", "cell_id")
-
 
 
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster_ops.tile_counts(_points(spark, sf_dir), G, zooms=(0, 1, 2, 3)).select(
         F.col("zoom").cast("long").alias("zoom"), "i_x", "i_y", "cell_id", "cnt"
     )
-
 
 
 def q_stay_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,7 +179,6 @@ def q_stay_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "traj_id", F.col("seq").cast("long").alias("seq"), "point_id", "cell_id"
     )
-
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,13 +193,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     polys = synth.synthetic_polygons(spark, sf_dir)
     return sj_ops.point_in_polygon(
         _points_cells(spark, sf_dir), polys, G, point_cols=["point_id"]
     ).select("point_id", "geo_id")
-
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,7 +207,6 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     )
-
 
 
 def q_point_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,7 +236,6 @@ def q_point_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sf.join(kin, "point_id")
 
 
-
 def q_point_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-point derivation bundle — reference tool_funcs.radian bearing
     and R=6367 km haversine of consecutive lon/lat steps plus the trajsimi
@@ -278,7 +262,6 @@ def q_point_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_traj_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = feat_ops.traj_stats(_points(spark, sf_dir))
     return out.select(
@@ -289,7 +272,6 @@ def q_traj_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RND("sinuosity", 4).alias("sinuosity_r"),
         _RND("travel_time_s", 1).alias("tt_r"),
     )
-
 
 
 def q_segment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,7 +289,6 @@ def q_segment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RND(d2, 3).alias("d2_r"),
         _RND(d1 + d2, 3).alias("d_r"),
     )
-
 
 
 def _segment_pair_d(spark: SparkSession, sf_dir: str):
@@ -352,7 +333,6 @@ def _segment_pair_d(spark: SparkSession, sf_dir: str):
     return j, d1, d2
 
 
-
 def q_symmetrize_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(S + Sᵀ) / max over the segment-pair distances — the reference's
     symmetrize + global-max normalization (simi_trainer.py:197-200)."""
@@ -364,7 +344,6 @@ def q_symmetrize_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = simi_ops.symmetrize_normalize(dists)
     return out.select("i", "j", _RND("dist", 6).alias("dist_norm_r"))
-
 
 
 def q_cell_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,11 +365,9 @@ def q_cell_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_neighbour_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full adjacent-cell-pair enumeration (cell graph edges)."""
     return cell_ops.neighbour_cell_pairs(spark, G)
-
 
 
 def q_cell_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,7 +382,6 @@ def q_cell_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cell_ops.neighbour_cell_pairs(spark, G)
     starts = _points_cells(spark, sf_dir).select("cell_id").distinct()
     return walks_ops.node2vec_walks(pairs, starts, walk_length=12, walks_per_node=2)
-
 
 
 def q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,7 +399,6 @@ def q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
-
 def q_traj_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-polyline view (cal_all_trajs) summarized to scalars."""
     from trajlib_spark.data_model import cal_all_trajs
@@ -436,7 +411,6 @@ def q_traj_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RND(F.element_at("lon_list", 1), 6).alias("head_lon_r"),
         _RND(F.element_at("lat_list", -1), 6).alias("tail_lat_r"),
     )
-
 
 
 # ---------------------------------------------------------------------------
@@ -464,7 +438,6 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join (customer ⋈ nation broadcast, orders shuffle) + agg +
     top-k — the classic star-join shape."""
@@ -483,7 +456,6 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
     )
     return out
-
 
 
 def q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,10 +477,8 @@ def q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.exact_duplicates(_docs(spark, sf_dir))
-
 
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,14 +498,12 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary heavy hitters (training-data pipeline: vocabulary /
     heavy-hitter extraction before tokenizer training). Catalyst plans the
     orderBy+limit as TakeOrderedAndProject — per-partition top-k heaps,
     no global sort."""
     return text_ops.vocab_topk(_docs(spark, sf_dir), k=100)
-
 
 
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,15 +513,11 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.tfidf_top_terms(_docs(spark, sf_dir), k=5)
 
 
-
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained character-trigram LM quality score per document —
     the statistical sibling of the heuristic quality_score (perplexity-
     style filtering without an external model)."""
     return text_ops.trigram_lm_score(_docs(spark, sf_dir))
-
-# documented dropDuplicatesWithinWatermark edge (initial watermark treats
-# them as expired), so the replay starts a safe 30 years in
 
 
 def _replay_stream(spark: SparkSession, batch_dfs, make_query, schema: str) -> DataFrame:
@@ -776,7 +740,6 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("doc_id", "text_hash")
 
 
-
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 and the IVF scale path (trained centroids,
     n_probe=8) over the same query set, method-tagged in one table
@@ -795,7 +758,6 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for tag, c in (("cosine", cos), ("ivf", ivf))
     ]
     return parts[0].unionAll(parts[1])
-
 
 
 def q_knn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -833,7 +795,6 @@ def q_knn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def knn_like_l2_topk(embs: DataFrame, qs: DataFrame, k: int) -> DataFrame:
     from pyspark.sql import Window
 
@@ -853,9 +814,6 @@ def knn_like_l2_topk(embs: DataFrame, qs: DataFrame, k: int) -> DataFrame:
     )
 
 
-
-
-
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible; numpy-oracle-tested in tests/)
 # ---------------------------------------------------------------------------
@@ -871,11 +829,9 @@ def q_segment_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_rdp_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = segment_ops.simplify_trajectories(_points(spark, sf_dir), epsilon=100.0)
     return out.where(F.col("rdp_keep")).select("traj_id", "point_id")
-
 
 
 def q_similarity_edwp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -891,7 +847,6 @@ def q_similarity_edwp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(pts.select("traj_id", "fed_id").distinct(), "traj_id")
     d = simi_ops.similarity_join(polys, "edwp", block_col="fed_id")
     return d.select("i", "j", _RND("dist", 3).alias("dist_r"))
-
 
 
 def q_similarity_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -924,7 +879,6 @@ def q_similarity_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def _cluster_input_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRACLUS segments + synthetic 32-dim embedding, the shared input of
     cluster_segments and silhouette."""
@@ -943,13 +897,11 @@ def _cluster_input_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_cluster_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = _cluster_input_segments(spark, sf_dir)
     return cluster_ops.cluster_segments(segs, eps=50000.0, min_samples=2).select(
         F.col("fed_id").cast("long").alias("fed_id"), "segment_id", "label"
     )
-
 
 
 def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1004,7 +956,6 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Federated cluster aggregation + greedy centroid merge
     (/root/reference/clustering.py:125-144): per-shard DBSCAN clusters →
@@ -1049,14 +1000,12 @@ def q_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def _blocked_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points(spark, sf_dir).withColumn("fed_id", F.col("traj_id") % 5)
     polys = simi_ops.collect_polylines(
         pts.select("traj_id", "fed_id", "ts_ms", "point_id", "x", "y")
     )
     return polys.join(pts.select("traj_id", "fed_id").distinct(), "traj_id")
-
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1093,7 +1042,6 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("i", "j", _RND("cosine", 6).alias("cosine_r"))
 
 
-
 def _newsimi_summary(q: DataFrame, db: DataFrame) -> DataFrame:
     def summarize(df: DataFrame, role: str) -> DataFrame:
         return df.where(F.size("xs") > 0).select(
@@ -1107,7 +1055,6 @@ def _newsimi_summary(q: DataFrame, db: DataFrame) -> DataFrame:
     return summarize(q, "q").unionAll(summarize(db, "db"))
 
 
-
 def q_newsimi_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """newsimi query/db generation (preprocessing_porto.py:94-117): test
     slice [0.8n, 0.8n+25), first 10 trajs' EVEN points = queries, every
@@ -1117,7 +1064,6 @@ def q_newsimi_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     polys = simi_ops.collect_polylines(_points(spark, sf_dir))
     q, db = newsimi.newsimi_datasets(polys, n_query=10, n_db=25, variant="raw")
     return _newsimi_summary(q, db)
-
 
 
 def q_newsimi_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1140,7 +1086,6 @@ def q_newsimi_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionAll(parts[1])
 
 
-
 def q_measure_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN by true Hausdorff measure via the exact grid-pruned path
     (anchor-cell ring join + radius bound; fed_trainer.py:445-452)."""
@@ -1152,7 +1097,6 @@ def q_measure_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         _RND("dist", 3).alias("dist_r"),
     )
-
 
 
 def q_measure_topk_lcss(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1172,7 +1116,6 @@ def q_measure_topk_lcss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_measure_topk_edwp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN by EDwP via the exact grid-pruned metric path (round 3: every
     DP term is (d₁+d₂)·cov with distances between on-polyline points and
@@ -1188,7 +1131,6 @@ def q_measure_topk_edwp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the documents table ships as ONE parquet file at test scale → one
     # scan task; fan it out so the Arrow signature/verify stages use every
@@ -1200,7 +1142,6 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.ngram_jaccard_verify(docs, cands, threshold=0.5).select(
         "i", "j", _RND("jaccard", 6).alias("jaccard_r")
     )
-
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1219,7 +1160,6 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_hamming=4 → 5 bands × 12 bits: selective buckets (a 10-bit budget
     # forces 5-bit bands whose 32 values collide a constant fraction of ANY
@@ -1232,7 +1172,6 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
@@ -1240,7 +1179,6 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_RECALL_CLUSTERS = 25
 
 ANN_RECALL_NPROBE = 4
-
 
 
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1279,14 +1217,12 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_fed_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional N-way federated shard assignment (np.array_split order)."""
     trajs = _points(spark, sf_dir).select("traj_id").distinct()
     return segment_ops.federated_split(trajs, 5, order=("traj_id",)).select(
         "traj_id", F.col("fed_id").cast("long").alias("fed_id")
     )
-
 
 
 def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1307,7 +1243,6 @@ def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionAll(rows[1])
 
 
-
 def q_augment_time_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic time_shift augmentation (p_i ← ¾p_i + ¼p_{i+1}) over
     nested polylines — pure Catalyst zip_with."""
@@ -1324,10 +1259,6 @@ def q_augment_time_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
-
-
-
 def q_porto_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Porto CSV preprocess (missing/length/bbox filters + Mercator,
     preprocessing_porto.py:35-69) over the committed porto.csv via the
@@ -1342,7 +1273,6 @@ def q_porto_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_porto_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POLYLINE explosion to the point table with the reference's 15-s
     cadence (porto.py:8-61), from the committed CSV."""
@@ -1354,7 +1284,6 @@ def q_porto_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "traj_id", F.col("pos").cast("long").alias("pos"), "ts_ms",
         _RND("lon", 6).alias("lon_r"), _RND("lat", 6).alias("lat_r"),
     )
-
 
 
 def q_media_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1388,7 +1317,6 @@ def q_media_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(fake, "fake").unionAll(summarize(real, "real"))
 
 
-
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling: RV01 raw-video payloads (real
     uncompressed container, library-free decode) → 4 uniformly-spaced
@@ -1406,7 +1334,6 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_polygon_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoRelation adjacency of polygons sharing a covering cell — LIVE
     SQL oracle (round 3): DuckDB rebuilds the octagon vertices, bounded
@@ -1417,7 +1344,6 @@ def q_polygon_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     polys = synth.synthetic_polygons(spark, sf_dir)
     cov = polygon_covering_cells(polys, G)
     return polygon_adjacency(cov)
-
 
 
 def q_pages_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1437,7 +1363,6 @@ def q_pages_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HMM map matching (SURVEY §2.13, map_match.py:176-213 analog):
     synthetic road grid → halo'd edge-cell candidate join → per-trajectory
@@ -1452,7 +1377,6 @@ def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_ops.match_trajectories(pc, edges, G, edge_nodes)
 
 
-
 def q_matched_edge_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connectivity among the distinct matched edges (the reference
     rebuilds this with an O(n²) python loop, map_match.py:163-173; here a
@@ -1464,7 +1388,6 @@ def q_matched_edge_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = q_map_match(spark, sf_dir)
     edges = roads.road_edges(spark, G)
     return mm_ops.matched_edge_connections(matched, edges)
-
 
 
 # ---------------------------------------------------------------------------
@@ -1482,24 +1405,33 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotation policy (VERDICT r3 item 2) for a driver capped at 50 rows:
     # every query's evidence must stay ≤ 1 round old, so the queries whose
-    # latest green row is OLDEST come first.  r5 also consolidated the
-    # scalar-expression tail (VERDICT r4 item 2) — 69 queries became 60:
-    # bearing+haversine+zscore_norm → point_derivations, kring+cell_mbr →
-    # cell_geometry, token_count+quality_score+lang_id → text_features,
-    # hit_ratio+rank_metric → knn_quality, newsimi_downsample+_distort →
-    # newsimi_augment, similarity_{lcss,edr,frechet,hausdorff} →
-    # similarity_all (same fixtures, same rounded values, one table each).
-    # r5 order: (a) the 19 queries whose latest row is r03 (the r04 cap
-    # cut them), merged names inheriting their components' staleness;
-    # (b) queries NEW or CHANGED this round; (c) unchanged r04-green
-    # queries, the last ~10 of which the cap may cut (their r04 rows stay
-    # exactly one round old).
+    # latest green row is OLDEST come first. The registry is exactly 60
+    # queries (consolidated 69→60 in r5, VERDICT r4 item 2).
+    # r6 order: (a) the 10 queries whose latest row is r04 (the r05 cap
+    # cut them); (b) queries CHANGED this round — walks.py gained the
+    # auto→arrow default and the index-space skip-gram slice, so
+    # cell_walks + walk_skipgrams re-prove themselves; (c) unchanged
+    # r05-green queries, the last 10 of which the cap cuts (their r05
+    # rows stay exactly one round old).
     return {
-        # --- (a) latest row is r03 (rotated out by the r04 cap) ---
+        # --- (a) latest row is r04 (rotated out by the r05 cap) ---
+        "video_frames": q_video_frames,
+        "symmetrize_norm": q_symmetrize_norm,
+        "fed_split": q_fed_split,
+        "augment_time_shift": q_augment_time_shift,
+        "newsimi_raw": q_newsimi_raw,
+        "neighbour_pairs": q_neighbour_pairs,
+        "describe_stats": q_describe,
+        "events_running": q_events_running,
+        "top_customers": q_top_customers,
+        "pricing_summary": q_pricing_summary,
+        # --- (b) changed this round (operators/walks.py) ---
+        "cell_walks": q_cell_walks,
+        "walk_skipgrams": q_walk_skipgrams,
+        # --- (c) unchanged, green in r05 ---
         "pages_points": q_pages_points,
         "porto_clean": q_porto_clean,
         "porto_points": q_porto_points,
@@ -1513,7 +1445,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdp_simplify": q_rdp_simplify,
         "silhouette": q_silhouette,
         "knn_quality": q_knn_quality,
-        # --- (b) new or changed this round ---
         "point_derivations": q_point_derivations,
         "cell_geometry": q_cell_geometry,
         "newsimi_augment": q_newsimi_augment,
@@ -1529,11 +1460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "measure_topk_lcss": q_measure_topk_lcss,
         "measure_topk_edwp": q_measure_topk_edwp,
         "lm_score": q_lm_score,
-        "walk_skipgrams": q_walk_skipgrams,
         "dedup_components": q_dedup_components,
-        # --- (c) unchanged, green in r04 ---
         "map_match": q_map_match,
-        "cell_walks": q_cell_walks,
         "matched_edge_graph": q_matched_edge_graph,
         "ann_ivf_recall": q_ann_ivf_recall,
         "minhash_lsh": q_minhash_lsh,
@@ -1542,6 +1470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "vocab_topk": q_vocab_topk,
         "tfidf_topterms": q_tfidf_topterms,
+        # --- overflow tail (position > 50): all green in r05, unchanged —
+        # a 50-row cap leaves their evidence exactly one round old
         "pip_join": q_pip_join,
         "knn": q_knn,
         "tile_pyramid": q_tile_pyramid,
@@ -1552,20 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_edwp": q_similarity_edwp,
         "cluster_segments": q_cluster_segments,
         "cluster_merge": q_cluster_merge,
-        "video_frames": q_video_frames,
-        # --- overflow tail (position > 50): all green in r04, unchanged —
-        # a 50-row cap leaves their evidence exactly one round old
-        "symmetrize_norm": q_symmetrize_norm,
-        "fed_split": q_fed_split,
-        "augment_time_shift": q_augment_time_shift,
-        "newsimi_raw": q_newsimi_raw,
-        "neighbour_pairs": q_neighbour_pairs,
-        "describe_stats": q_describe,
-        "events_running": q_events_running,
-        "top_customers": q_top_customers,
-        "pricing_summary": q_pricing_summary,
     }
-
 
 
 _GOLDEN_QUERIES = (
@@ -1577,7 +1494,6 @@ _GOLDEN_QUERIES = (
     "media_all", "video_frames",
     "cluster_merge", "measure_topk_lcss", "measure_topk_edwp", "map_match",
 )
-
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1594,7 +1510,6 @@ def oracle_sql() -> dict[str, str]:
     out["ann_topk"] = _sql_ann_topk()
     out["dedup_components"] = _sql_dedup_components()
     return out
-
 
 
 def _build_sql_oracles() -> dict[str, str]:
@@ -1638,7 +1553,6 @@ def _build_sql_oracles() -> dict[str, str]:
         "tfidf_topterms": SQL_TFIDF_TOPTERMS,
         "lm_score": SQL_LM_SCORE,
     }
-
 
 
 _SQL_ORACLES = _build_sql_oracles()

@@ -11,10 +11,19 @@ Scaling evidence (BASELINE.md §3): the same job on the same input at
 N=local[3] and 4N=local[12], interleaved sessions, efficiency =
 (min t_3 / min t_12) / 4 (per-level minima — the consistent estimator
 under this VM's one-sided interference noise), plus the full-box
-local[32] throughput. BENCH/BASELINE.md is (re)written on every run.
+local[32] throughput.
+
+Contention guard (VERDICT r5 #1): every timed window is monitored for
+CPU steal (/proc/stat) and loadavg; contended scaling pairs are re-run
+until the target number of CLEAN pairs exists, the efficiency uses
+clean-pair minima only, per-query timings retry contended windows, and
+a run with zero clean pairs refuses to overwrite BENCH/BASELINE.md
+(evidence goes to BENCH/NOTES.md instead).
 
 Usage: python bench.py [--scaling]
-Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS,
+SPARK_GRAFT_SF1=0 / SPARK_GRAFT_SF10=0 to skip the scale pilots
+(SPARK_GRAFT_SF10=live forces a fresh 200M-page pass past the cache).
 """
 
 from __future__ import annotations
@@ -39,6 +48,89 @@ G = PORTO_GRID
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# contention guard (VERDICT r5 #1): every timing window records hard
+# evidence of whether a co-tenant was stealing the box while it ran
+# ---------------------------------------------------------------------------
+
+# steal share of the whole box's CPU-time during the window: >2% means the
+# hypervisor ran someone else while this guest was runnable — the direct
+# signature of the shared-VM interference that poisoned BENCH_r05
+_STEAL_THRESH_PCT = 2.0
+# 1-min loadavg beyond what the bench's own Spark session explains
+# (cores in use + python workers); the r5 bad window read loadavg 13
+# with zero local processes
+_LOAD_MARGIN = 8.0
+
+
+def _cpu_sample() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) summed over all CPUs from /proc/stat."""
+    v = [int(x) for x in open("/proc/stat").readline().split()[1:9]]
+    return v[7], sum(v)
+
+
+class _WindowMonitor:
+    """Context manager sampling external-contention signals over a timed
+    window: CPU-steal share from /proc/stat deltas plus 1-min loadavg
+    every 0.5 s. ``stats`` afterwards holds steal_pct / load1_max /
+    contended; ``contended`` is True when either signal exceeds its
+    threshold for the given in-use core count."""
+
+    def __init__(self, cores_in_use: int):
+        self.cores = cores_in_use
+        self.stats: dict = {}
+
+    def __enter__(self):
+        import threading
+
+        self._s0, self._t0 = _cpu_sample()
+        self._loads: list[float] = []
+        self._stop = threading.Event()
+
+        def sampler():
+            while not self._stop.wait(0.5):
+                self._loads.append(os.getloadavg()[0])
+
+        self._th = threading.Thread(target=sampler, daemon=True)
+        self._th.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._th.join()
+        s1, t1 = _cpu_sample()
+        dt = max(1, t1 - self._t0)
+        steal = 100.0 * (s1 - self._s0) / dt
+        load_max = max(self._loads, default=os.getloadavg()[0])
+        self.stats = {
+            "steal_pct": round(steal, 2),
+            "load1_max": round(load_max, 2),
+            "contended": bool(
+                steal > _STEAL_THRESH_PCT
+                or load_max > self.cores + _LOAD_MARGIN
+            ),
+        }
+        return False
+
+    @property
+    def contended(self) -> bool:
+        return bool(self.stats.get("contended"))
+
+
+def _idle_probe() -> dict:
+    """Point-in-time external-load sample taken while the bench holds no
+    Spark session (pair boundaries): 1-min loadavg (still decaying from
+    our own previous level, so recorded as evidence, never gated on) plus
+    steal over a 0.25 s sample."""
+    s0, t0 = _cpu_sample()
+    time.sleep(0.25)
+    s1, t1 = _cpu_sample()
+    return {
+        "load1": round(os.getloadavg()[0], 2),
+        "steal_pct": round(100.0 * (s1 - s0) / max(1, t1 - t0), 2),
+    }
 
 
 def pages_for_sf(sf_dir: str) -> int:
@@ -87,7 +179,7 @@ def run_pipeline_once(spark, sf_dir: str, pages_path: str, n_pages: int) -> floa
     return time.time() - t0
 
 
-def timed_queries(spark, sf_dir: str) -> dict[str, float]:
+def timed_queries(spark, sf_dir: str, cpus: int) -> tuple[dict[str, float], dict]:
     import __spark_entry__ as E
 
     names = [
@@ -103,22 +195,36 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
     ]
     qs = E.queries()
     out = {}
+    windows: dict[str, dict] = {}
     for name in names:
-        # min of 2 passes: same one-sided-noise argument as the scaling
-        # estimator (pass 1 also absorbs python-worker/JIT warmup)
+        # min of 2 passes (pass 1 also absorbs python-worker/JIT warmup);
+        # each pass carries its own contention window, and a pass whose
+        # window was contended triggers up to 2 extra passes so the min
+        # comes from a clean window whenever one exists (r5's cell_walks
+        # +94% was exactly one noisy window landing on a 2-pass min)
         best = None
-        for _ in range(2):
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+        best_win: dict = {}
+        clean_seen = False
+        passes = 0
+        while passes < 2 or (not clean_seen and passes < 4):
+            passes += 1
+            with _WindowMonitor(cpus) as mon:
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+            if not mon.contended:
+                clean_seen = True
+            # a clean-window pass always beats a contended one of any time
+            if best is None or (mon.contended, dt) < (best_win["contended"], best):
+                best, best_win = dt, mon.stats
         out[name] = round(best, 3)
-        log(f"  q {name}: {out[name]}s")
+        windows[name] = {**best_win, "passes": passes}
+        log(f"  q {name}: {out[name]}s {best_win}")
         # operators persist bounded intermediates (signature/banded/anchor
         # tables) whose blocks would otherwise accumulate across the 22×2
         # timed runs and skew later queries (ADVICE r2)
         spark.catalog.clearCache()
-    return out
+    return out, windows
 
 
 def flagship_stage_times(spark, sf_dir: str, pages_path: str) -> dict[str, float]:
@@ -312,7 +418,7 @@ def sf1_pilot(sf_dir: str, cpus: int) -> dict:
         # two stages attribute separately.
         t0 = time.time()
         walks50 = walk_ops.node2vec_walks(pairs, starts, walk_length=50,
-                                          walks_per_node=10)
+                                          walks_per_node=10, impl="catalyst")
         # checkpoint IS the timed materialization of the 49-join chain;
         # the count then reads the checkpoint blocks instead of re-running
         w50 = walks50.localCheckpoint(eager=True)
@@ -357,7 +463,99 @@ def sf1_pilot(sf_dir: str, cpus: int) -> dict:
     return out
 
 
-def measure_level(cores: int, sf_dir: str, n_pages: int, runs: int) -> list[float]:
+def _flagship_source_hash() -> str:
+    """Content hash of every source file the flagship pipeline executes —
+    the sf10 cache key (rerun the 200M-page pass iff the code it measures
+    changed)."""
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    files = [
+        "trajlib_spark/operators/cells.py",
+        "trajlib_spark/operators/extract.py",
+        "trajlib_spark/operators/spatial_join.py",
+        "trajlib_spark/operators/raster.py",
+        "trajlib_spark/sources/pages.py",
+        "trajlib_spark/sources/synth.py",
+        "trajlib_spark/config.py",
+        "trajlib_spark/session.py",
+    ]
+    h = hashlib.sha256()
+    for rel in files:
+        h.update(open(os.path.join(root, rel), "rb").read())
+    return h.hexdigest()[:12]
+
+
+def sf10_pilot(sf_dir: str, cpus: int) -> dict:
+    """One more decade on the flagship only (VERDICT r5 #6): 200M pages
+    (~32 GB parquet) through pages → mined points → cells → PIP join →
+    tile pyramid. The timed pass runs both sinks as global counts through
+    their OWN QueryExecutions (a noop write's adaptive plan is a separate
+    QueryExecution — ADVICE r3), so AQE skew-split markers and output
+    rows come from exactly the run that was timed. Generation is cached
+    on disk (untimed, the north-rule input is a stored table); the result
+    is cached in BENCH/SF10.json keyed on a hash of the flagship source
+    files, because a 200M-page pass costs ~15 min and its numbers only
+    go stale when the code they measure changes."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cache = os.path.join("BENCH", "SF10.json")
+    key = _flagship_source_hash()
+    if os.environ.get("SPARK_GRAFT_SF10", "") != "live" and os.path.exists(cache):
+        try:
+            cached = json.load(open(cache))
+        except (OSError, ValueError):
+            cached = None
+        if cached and cached.get("source_hash") == key and "error" not in cached:
+            log("sf10: reusing BENCH/SF10.json (source hash unchanged)")
+            return cached
+    n = 200_000_000
+    out: dict = {"pages": n, "source_hash": key,
+                 "measured_at": time.strftime("%Y-%m-%d %H:%M:%S")}
+    log("sf10 pilot: 200M-page flagship (generation cached, untimed)")
+    spark = get_spark(app_name="bench-sf10", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    try:
+        pages_path = prepare_pages(spark, n)
+        pg = spark.read.parquet(pages_path)
+        pts = cells.with_cell(extract.pages_to_points(pg), G)
+        polys = synth.synthetic_polygons(spark, sf_dir)
+        pip = spatial_join.point_in_polygon(
+            pts, polys, G, point_cols=["url", "pos", "cell_id"]
+        )
+        tiles = raster.tile_counts(pts, G)
+        pip_cnt = pip.groupBy().count()
+        tiles_cnt = tiles.groupBy().count()
+        with _WindowMonitor(cpus) as mon:
+            t0 = time.time()
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                fp = ex.submit(lambda: int(pip_cnt.toPandas()["count"][0]))
+                ft = ex.submit(lambda: int(tiles_cnt.toPandas()["count"][0]))
+                out["pip_rows"], out["tile_rows"] = fp.result(), ft.result()
+            dt = time.time() - t0
+        out["flagship_sec"] = round(dt, 2)
+        out["flagship_pages_per_sec"] = round(n / dt, 1)
+        out["window"] = mon.stats
+        out["pip_skew_splits"] = _plan_skew_count(pip_cnt)
+        out["tiles_skew_splits"] = _plan_skew_count(tiles_cnt)
+        out["peak_jvm_rss_gb"] = _jvm_peak_rss_gb()
+        os.makedirs("BENCH", exist_ok=True)
+        with open(cache, "w") as f:
+            json.dump(out, f)
+    except Exception as ex:  # noqa: BLE001 — pilot must never sink the bench
+        out["error"] = f"{type(ex).__name__}: {ex}"
+    finally:
+        stop_spark(spark)
+    return out
+
+
+def measure_level(
+    cores: int, sf_dir: str, n_pages: int, runs: int
+) -> tuple[list[float], dict]:
+    """(timed runs, contention-window stats). The monitor covers ONLY the
+    timed runs — session startup, table prep and warm-up stay outside the
+    window, so the contention verdict applies to exactly the seconds that
+    enter the scaling ratio."""
     # split inputs ~8 MB so the scan yields >= 4 tasks/core even for a
     # few-hundred-MB pages table (default 128 MB bins would give ~3 tasks
     # total and flat-line the scaling measurement)
@@ -369,9 +567,13 @@ def measure_level(cores: int, sf_dir: str, n_pages: int, runs: int) -> list[floa
     # which min-of-runs discounts
     warm_path = prepare_pages(spark, min(n_pages, 200_000))
     run_pipeline_once(spark, sf_dir, warm_path, min(n_pages, 200_000))
-    times = [run_pipeline_once(spark, sf_dir, pages_path, n_pages) for _ in range(runs)]
+    with _WindowMonitor(cores) as mon:
+        times = [
+            run_pipeline_once(spark, sf_dir, pages_path, n_pages)
+            for _ in range(runs)
+        ]
     stop_spark(spark)
-    return times
+    return times, mon.stats
 
 
 def main() -> None:
@@ -401,31 +603,62 @@ def main() -> None:
     # round-1 protocol; it fails when one slow window depresses a whole
     # pair asymmetrically — observed 0.77-0.93 across runs vs 0.86-0.96
     # for the min-ratio).
+    # Contention guard (VERDICT r5 #1): every pair records its two runs'
+    # steal/loadavg windows; a pair is CLEAN iff both level windows are.
+    # Contended pairs are re-run (up to SPARK_GRAFT_SCALING_MAX_EXTRA
+    # extras) until the target number of clean pairs exists; the
+    # efficiency is computed from clean-pair minima. A run that never saw
+    # a clean pair is marked contended — BENCH/BASELINE.md is NOT
+    # overwritten from it (the evidence lands in NOTES.md instead).
     pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "3"))
-    t_small, t_big, pair_eff = [], [], []
-    # 1 timed run per level per pair (the warm-up already absorbed cache/
-    # JIT): the min is taken ACROSS the interleaved pairs, and 3 separate
-    # time windows beat 2 windows x 2 runs under this VM's noise — while
-    # keeping the whole bench inside ~7 nominal minutes
-    for _ in range(pairs):
-        a = min(measure_level(3, sf_dir, n_pages, 1))
-        b = min(measure_level(12, sf_dir, n_pages, 1))
-        t_small.append(a)
-        t_big.append(b)
-        pair_eff.append((a / b) / 4.0)
+    max_attempts = pairs + int(os.environ.get("SPARK_GRAFT_SCALING_MAX_EXTRA", "3"))
+    pair_records: list[dict] = []
+    t_small, t_big = [], []          # clean pairs only (fallback: all)
+    t_small_all, t_big_all = [], []
+    while len(pair_records) < max_attempts and len(t_small) < pairs:
+        idle = _idle_probe()
+        a_times, win_a = measure_level(3, sf_dir, n_pages, 1)
+        b_times, win_b = measure_level(12, sf_dir, n_pages, 1)
+        a, b = min(a_times), min(b_times)
+        clean = not (win_a["contended"] or win_b["contended"])
+        pair_records.append({
+            "t3": round(a, 3), "t12": round(b, 3),
+            "eff": round((a / b) / 4.0, 3), "clean": clean,
+            "idle_before": idle, "win3": win_a, "win12": win_b,
+        })
+        t_small_all.append(a)
+        t_big_all.append(b)
+        if clean:
+            t_small.append(a)
+            t_big.append(b)
+        log(f"  pair {len(pair_records)}: t3={a:.2f} t12={b:.2f} "
+            f"eff={(a / b) / 4.0:.3f} clean={clean} win3={win_a} win12={win_b}")
+    contended_run = not t_small
+    if contended_run:  # no clean pair — fall back to all, flag the run
+        t_small, t_big = t_small_all, t_big_all
     med8, medbig = min(t_small), min(t_big)
     thr8, thrbig = n_pages / med8, n_pages / medbig
     eff = (med8 / medbig) / 4.0
-    t_full = measure_level(cpus, sf_dir, n_pages, 2)
+    pair_eff = [r["eff"] for r in pair_records]
+    # full-box headline: retry once if its window was contended
+    t_full, win_full = measure_level(cpus, sf_dir, n_pages, 2)
+    if win_full["contended"]:
+        t2, w2 = measure_level(cpus, sf_dir, n_pages, 2)
+        if not w2["contended"]:
+            t_full, win_full = t2, w2
+        else:
+            t_full, win_full = t_full + t2, w2
     medfull = min(t_full)
     thrfull = n_pages / medfull
     log(f"local[3]: {med8:.2f}s ({thr8:.0f} pages/s); local[12]: "
-        f"{medbig:.2f}s ({thrbig:.0f} pages/s); efficiency={eff:.3f}; "
-        f"local[{cpus}]: {medfull:.2f}s ({thrfull:.0f} pages/s)")
+        f"{medbig:.2f}s ({thrbig:.0f} pages/s); efficiency={eff:.3f} "
+        f"(clean pairs {len(t_small) if not contended_run else 0}/"
+        f"{len(pair_records)}); local[{cpus}]: {medfull:.2f}s "
+        f"({thrfull:.0f} pages/s)")
 
     spark = get_spark(app_name="bench-queries", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
-    queries = timed_queries(spark, sf_dir)
+    queries, query_windows = timed_queries(spark, sf_dir, cpus)
     stages = flagship_stage_times(spark, sf_dir, prepare_pages(spark, n_pages))
     stop_spark(spark)
 
@@ -434,6 +667,7 @@ def main() -> None:
         "value": round(thrfull, 1),
         "unit": "sec",
         "queries": queries,
+        "query_windows": query_windows,
         "flagship_stages": stages,
         "sf": sf_dir.rstrip("/").rsplit("/", 1)[-1],
         "pages": n_pages,
@@ -448,6 +682,10 @@ def main() -> None:
             "cores_full": cpus,
             "sec_full": round(medfull, 3),
             "pages_per_sec_full": round(thrfull, 1),
+            "window_full": win_full,
+            "clean_pairs": 0 if contended_run else len(t_small),
+            "contended": contended_run,
+            "pair_records": pair_records,
         },
     }
     result["scaling"]["pair_efficiencies"] = [round(e, 3) for e in pair_eff]
@@ -463,6 +701,27 @@ def main() -> None:
         log(f"sf1: {result['sf1']}")
         with open("BENCH/last_run.json", "w") as f:
             json.dump(result, f)
+    if os.environ.get("SPARK_GRAFT_SF10", "1") != "0":
+        result["sf10"] = sf10_pilot(sf_dir, cpus)
+        log(f"sf10: {result['sf10']}")
+        with open("BENCH/last_run.json", "w") as f:
+            json.dump(result, f)
+    if contended_run:
+        # guard: a fully-contended run must not overwrite the curated
+        # evidence document — the numbers land in NOTES.md instead
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/NOTES.md", "a") as f:
+            f.write(
+                f"\n### Contended run ({time.strftime('%Y-%m-%d %H:%M:%S')}, "
+                "BASELINE.md left untouched)\n\n"
+                f"No clean scaling pair in {len(pair_records)} attempts; "
+                f"efficiency over contended pairs = {eff:.3f}. Pair windows: "
+                f"{json.dumps(pair_records)}\n"
+            )
+        log("contended run — BENCH/BASELINE.md NOT overwritten; "
+            "evidence appended to BENCH/NOTES.md")
+        print(json.dumps(result))
+        return
     # always persist the evidence document (--scaling kept as a no-op flag)
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
@@ -471,7 +730,8 @@ def main() -> None:
                 f"Job: pages → mined points → cell assign → PIP join (broadcast "
                 f"polygon set) → tile pyramid, {n_pages} pages ({result['sf']}), "
                 "noop sink, warm-up discarded, minimum over "
-                f"{pairs} pairs × 2 runs per level.\n\n"
+                f"{len(t_small)} clean pairs (of {len(pair_records)} run) "
+                "× 1 run per level.\n\n"
                 "| level | cores | median sec | pages/sec |\n|---|---|---|---|\n"
                 f"| N | 3 | {med8:.2f} | {thr8:.0f} |\n"
                 f"| 4N | 12 | {medbig:.2f} | {thrbig:.0f} |\n"
@@ -483,16 +743,36 @@ def main() -> None:
                 "un-saturated, which is the regime distinct executors on a real "
                 "cluster run in. The full-box row is the headline throughput.\n\n"
                 f"**Scaling efficiency (N→4N)** = (min t_3 / min t_12) / 4 "
-                f"over {pairs} interleaved 3/12-core session pairs = "
+                f"over clean interleaved 3/12-core session pairs = "
                 f"**{eff:.3f}** (target ≥ 0.8, BASELINE.json). This VM's "
                 "interference is one-sided (+0-50% wall time in bad "
                 "windows), so per-level minima are the consistent "
                 "estimator of uncontended runtime; interleaving makes both "
                 "levels sample the same window.\n\n"
-                f"Per-pair efficiencies: {[round(e,3) for e in pair_eff]}; "
-                f"level minima: local[3]={[round(t,2) for t in t_small]}, "
+                "**Contention guard** (protocol, VERDICT r5 #1): every "
+                "timed window is monitored — CPU-steal share from "
+                "/proc/stat deltas (steal > "
+                f"{_STEAL_THRESH_PCT}% of box CPU ⇒ the hypervisor ran a "
+                "co-tenant while this guest was runnable) and 1-min "
+                f"loadavg (> cores-in-use + {_LOAD_MARGIN:.0f} ⇒ external "
+                "load). A pair is CLEAN iff both its level windows are; "
+                "contended pairs are re-run (up to 3 extras) and the "
+                "efficiency uses clean-pair minima only. A run with zero "
+                "clean pairs refuses to overwrite this file (evidence "
+                "goes to NOTES.md).\n\n"
+                f"Clean pairs {len(t_small)}/{len(pair_records)}; per-pair "
+                f"(t3, t12, eff, clean, steal3%, steal12%, load3, load12): "
+                + str([
+                    (r["t3"], r["t12"], r["eff"], r["clean"],
+                     r["win3"]["steal_pct"], r["win12"]["steal_pct"],
+                     r["win3"]["load1_max"], r["win12"]["load1_max"])
+                    for r in pair_records
+                ])
+                + f"\n\nLevel minima over clean pairs: "
+                f"local[3]={[round(t,2) for t in t_small]}, "
                 f"local[12]={[round(t,2) for t in t_big]}, "
-                f"local[{cpus}]={[round(t,2) for t in t_full]}\n\n"
+                f"local[{cpus}]={[round(t,2) for t in t_full]} "
+                f"(full-box window: {win_full})\n\n"
                 "Flagship per-stage prefix timings (noop sink, seconds; each "
                 "row includes everything above it — scan+mine ⊂ cells ⊂ "
                 "pip/tiles):\n\n"
@@ -510,6 +790,21 @@ def main() -> None:
                     "JVM's VmHWM; *_skew_splits counts AQE skew-split joins "
                     "in the executed plans.\n"
                     if "sf1" in result else ""
+                )
+                + (
+                    "\n## sf10 scale pilot (100× the bench scale — flagship "
+                    "only, one pass)\n\n"
+                    + "\n".join(f"- {k}: {v}" for k, v in result["sf10"].items())
+                    + "\n\n200M pages (~32 GB parquet, VERDICT r5 #6): one "
+                    "decade beyond sf1, the cheapest probe for nonlinearity "
+                    "in the 100×-design claims. The timed pass drives both "
+                    "sinks through their own QueryExecutions (global-count "
+                    "sink instead of noop) so the AQE-final skew markers and "
+                    "output rows are read from the very run that was timed. "
+                    "Result cached in BENCH/SF10.json keyed on the hash of "
+                    "the flagship's source files — reruns automatically "
+                    "when any of them change.\n"
+                    if "sf10" in result else ""
                 )
         )
     # curated analysis notes survive reruns: BASELINE.md is regenerated

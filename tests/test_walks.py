@@ -42,7 +42,7 @@ def test_arrow_walks_bit_identical_to_join_chain(spark, pairs):
     )
     chain = sorted(
         (r.walk_id, r.pos, r.cell_id)
-        for r in walks.node2vec_walks(pairs, starts, 10, 3).collect()
+        for r in walks.node2vec_walks(pairs, starts, 10, 3, impl="catalyst").collect()
     )
     arrow = sorted(
         (r.walk_id, r.pos, r.cell_id)
@@ -53,11 +53,52 @@ def test_arrow_walks_bit_identical_to_join_chain(spark, pairs):
         walks.node2vec_walks(pairs, starts, 4, 1, impl="nope")
 
 
+def test_dead_end_walks_dropped_identically(spark):
+    """A degree-0 start node (absent from the edge list — the only
+    dead-end shape an undirected adjacency admits) drops its walks
+    ENTIRELY in every implementation: the chain loses the row at the
+    step-1 inner join, and the arrow/python paths enforce the same rule,
+    so the bit-identical guarantee is unconditional (ADVICE r5)."""
+    tiny = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src_cell long, dst_cell long"
+    )
+    starts = spark.createDataFrame([(1,), (99,)], "cell_id long")
+    chain = sorted(
+        map(tuple, walks.node2vec_walks(tiny, starts, 5, 2, impl="catalyst").collect())
+    )
+    arrow = sorted(
+        map(tuple, walks.node2vec_walks(tiny, starts, 5, 2, impl="arrow").collect())
+    )
+    py = sorted(walks.walks_py([(1, 2), (2, 3)], [1, 99], 5, 2))
+    assert chain == arrow == py
+    # node 99's walks are gone entirely — even pos 0
+    assert all(r[0] // 2 != 99 for r in chain)
+    # node 1's walks survive at full length
+    assert len(chain) == 2 * 5
+
+
+def test_auto_impl_selection(spark, pairs):
+    """impl='auto' takes the broadcast-arrow path for metadata-scale
+    graphs (no join in the plan) and falls back to the catalyst chain
+    when the edge list exceeds max_broadcast_edges."""
+    starts = spark.createDataFrame([(42,)], "cell_id long")
+    auto_plan = (
+        walks.node2vec_walks(pairs, starts, 5, 1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" not in auto_plan  # arrow: one Arrow pass
+    chain_plan = (
+        walks.node2vec_walks(pairs, starts, 5, 1, max_broadcast_edges=0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in chain_plan
+
+
 def test_walks_plan_shape(spark, pairs):
     """All walk-step joins are broadcast hash joins (the cell graph is
     metadata-scale); no cross join, no shuffle join in the chain."""
     starts = spark.createDataFrame([(42,), (99,)], "cell_id long")
-    out = walks.node2vec_walks(pairs, starts, 6, 2)
+    out = walks.node2vec_walks(pairs, starts, 6, 2, impl="catalyst")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -102,6 +143,36 @@ def test_skipgram_pairs_match_replica(spark, pairs):
         for cp in seq
         for xp in seq
         if xp != cp and abs(xp - cp) <= 3
+    )
+    assert got == expect
+    w.unpersist()
+
+
+def test_skipgram_pairs_non_contiguous_positions(spark, pairs):
+    """Walks whose positions are NOT contiguous (filtered upstream) still
+    get exact position-window semantics: the index-space slice is a
+    superset of the position window (positions strictly increase along
+    the sorted array), and the final |Δpos| ≤ window filter trims the
+    extras (ADVICE r5)."""
+    starts = spark.createDataFrame([(5,), (100,)], "cell_id long")
+    w = (
+        walks.node2vec_walks(pairs, starts, 10, 2)
+        .where(~F.col("pos").isin(3, 4, 7))
+        .persist()
+    )
+    got = sorted(
+        (r.walk_id, r.center_pos, r.center, r.context)
+        for r in walks.skipgram_pairs(w, window=2).collect()
+    )
+    by_walk: dict[int, dict[int, int]] = {}
+    for r in w.collect():
+        by_walk.setdefault(r.walk_id, {})[r.pos] = r.cell_id
+    expect = sorted(
+        (wid, cp, seq[cp], seq[xp])
+        for wid, seq in by_walk.items()
+        for cp in seq
+        for xp in seq
+        if xp != cp and abs(xp - cp) <= 2
     )
     assert got == expect
     w.unpersist()

@@ -59,32 +59,47 @@ def node2vec_walks(
     walk_length: int = 12,
     walks_per_node: int = 2,
     node_col: str = "cell_id",
-    impl: str = "catalyst",
+    impl: str = "auto",
+    max_broadcast_edges: int = 4_000_000,
 ) -> DataFrame:
     """→ (walk_id, pos, cell_id): ``walks_per_node`` uniform walks of
     ``walk_length`` positions from every start node (p = q = 1, the
-    reference's config). walk_id = node·walks_per_node + w.
+    reference's config). walk_id = node·walks_per_node + w. A walk that
+    hits a dead end (degree-0 node) is DROPPED entirely — all impls
+    agree on this (the join chain loses the row at the failed step; the
+    arrow/python paths enforce the same rule), so the bit-identical
+    claim below holds on any graph, dead ends included.
 
-    ``impl='catalyst'`` (default) chains walk_length−1 broadcast
-    map-side joins — fully general, but each step is a scheduled stage,
-    so long walks pay ~linear fixed cost (the sf1 pilot measured
-    ~1.6 s/step at length 50). ``impl='arrow'`` broadcasts the adjacency
-    (sorted-neighbor dict) and generates every walk in ONE Arrow pass
-    over the start-node partitions — bit-identical output (same integer
-    hash chooser), the right plan when the graph is metadata-scale
-    (bounded by the grid, not the data), which the cell graph always is.
-    For graphs that outgrow executor memory, stay on 'catalyst'."""
+    ``impl='catalyst'`` chains walk_length−1 broadcast map-side joins —
+    fully general, but each step is a scheduled stage, so long walks pay
+    ~linear fixed cost (the sf1 pilot measured ~1.6 s/step at length
+    50). ``impl='arrow'`` broadcasts the adjacency (sorted-neighbor
+    dict) and generates every walk in ONE Arrow pass over the start-node
+    partitions — bit-identical output (same integer hash chooser), the
+    right plan when the graph is metadata-scale (bounded by the grid,
+    not the data), which the cell graph always is (6.7–25× at the
+    reference walk shape, VERDICT r5). ``impl='auto'`` (default) counts
+    the edge list once — one cheap aggregate against 49 saved join
+    stages — and picks arrow iff it holds ≤ ``max_broadcast_edges``
+    undirected pairs (the grid cell graph is always far below this;
+    data-scale graphs that would blow the broadcast stay on the
+    chain)."""
+    if impl == "auto":
+        impl = (
+            "arrow"
+            if pairs.groupBy().count().collect()[0][0] <= max_broadcast_edges
+            else "catalyst"
+        )
     if impl == "arrow":
         return _walks_arrow(pairs, start_nodes, walk_length, walks_per_node, node_col)
     if impl != "catalyst":
-        raise ValueError(f"impl must be catalyst | arrow, got {impl!r}")
-    # the cell graph is metadata-scale (bounded by the grid, not the data):
-    # broadcasting it turns all walk_length−1 joins into map-side hash
-    # joins that pipeline in one linear chain. The path accumulates as an
-    # ARRAY column and explodes once at the end — a per-step union would
-    # re-evaluate each prefix chain (O(L²) joins total).
-    # Precondition: no dead-end nodes (an undirected grid graph has none);
-    # a degree-0 node would drop its walk instead of truncating it.
+        raise ValueError(f"impl must be auto | catalyst | arrow, got {impl!r}")
+    # broadcasting the adjacency turns all walk_length−1 joins into
+    # map-side hash joins that pipeline in one linear chain. The path
+    # accumulates as an ARRAY column and explodes once at the end — a
+    # per-step union would re-evaluate each prefix chain (O(L²) joins
+    # total). A walk reaching a degree-0 node vanishes at that step's
+    # inner join — the dropped-walk rule documented above.
     adj = F.broadcast(indexed_adjacency(pairs).persist())
     starts = start_nodes.select(F.col(node_col).cast("long").alias("cur"))
     frontier = starts.select(
@@ -147,18 +162,22 @@ def _walks_arrow(
                 for w in range(walks_per_node):
                     wid = node * walks_per_node + w
                     cur = node
-                    out_w.append(wid)
-                    out_p.append(0)
-                    out_c.append(cur)
+                    path = [cur]
                     for step in range(1, walk_length):
                         nbrs = adjv.get(cur)
                         if not nbrs:
                             break
                         h = (wid * _HASH_A + step * _HASH_B + _HASH_C) % _HASH_M
                         cur = nbrs[h % len(nbrs)]
-                        out_w.append(wid)
-                        out_p.append(step)
-                        out_c.append(cur)
+                        path.append(cur)
+                    # dead-ended walk → dropped entirely, matching the
+                    # inner-join chain (which loses the row at the failed
+                    # step, earlier positions included)
+                    if len(path) < walk_length:
+                        continue
+                    out_w.extend([wid] * walk_length)
+                    out_p.extend(range(walk_length))
+                    out_c.extend(path)
             yield pd.DataFrame({"walk_id": out_w, "pos": out_p, node_col: out_c})
 
     return starts.mapInPandas(gen, f"walk_id long, pos long, {node_col} long")
@@ -178,35 +197,40 @@ def skipgram_pairs(
 
     ONE shuffle: collect each walk into a sorted array (walks are short —
     ≤ walk_length elements), then explode each center against only the
-    SLICE of the walk inside ±``window`` of its position. The slice bound
-    makes the fan linear — min(2·window+1, L) context rows per center
-    instead of the full L (at the reference's walk_length 50 / window 10
-    the unbounded double-explode fanned 2 500 rows per walk for ~900
-    kept, VERDICT r4 #3). Positions are contiguous 0..L−1 per walk
-    (posexplode of a dead-end-free walk), so _seq[k] holds pos k−1 and
-    the 1-based slice [center_pos+1−window, …] is exactly the window. A
-    walk_id self-join would shuffle the table twice AND evaluate the
+    SLICE of the walk within ±``window`` ARRAY INDICES of the center's
+    index, then keep the rows within ±``window`` POSITIONS. The slice
+    bound makes the fan linear — ≤ 2·window+1 context rows materialized
+    per center instead of the full L (at the reference's walk_length 50
+    / window 10 the unbounded double-explode fanned 2 500 rows per walk
+    for ~900 kept, VERDICT r4 #3). The index-space slice is always a
+    superset of the position window: positions strictly increase along
+    the sorted array, so |pos_x − pos_c| ≤ window ⇒ |idx_x − idx_c| ≤
+    window — walks with non-contiguous positions (filtered or truncated
+    upstream) get exactly the position-window semantics, just via a
+    slice that may carry a few extra rows into the cheap final filter.
+    A walk_id self-join would shuffle the table twice AND evaluate the
     walk-generation chain twice (it is not cached); the collect form
     evaluates it once."""
     seq = F.sort_array(F.collect_list(F.struct(F.col("pos"), F.col(node_col))))
     arr = walks.groupBy("walk_id").agg(seq.alias("_seq"))
-    centers = arr.select("walk_id", "_seq", F.explode("_seq").alias("_c"))
-    start_1b = F.greatest(F.lit(1), F.col("center_pos") + 1 - window)  # 1-based
-    end_0b = F.least(F.col("center_pos") + window, F.size("_seq") - 1)
+    centers = arr.select(
+        "walk_id", "_seq", F.posexplode("_seq").alias("_i", "_c")
+    )
+    start_1b = F.greatest(F.lit(1), F.col("_i") + 1 - window)  # 1-based
+    end_1b = F.least(F.col("_i") + 1 + window, F.size("_seq"))
     return (
         centers.select(
             "walk_id",
             F.col("_c.pos").alias("center_pos"),
             F.col(f"_c.{node_col}").alias("center"),
-            "_seq",
-        )
-        .select(
-            "walk_id", "center_pos", "center",
             F.explode(
-                F.slice("_seq", start_1b, end_0b - start_1b + 2)
+                F.slice("_seq", start_1b, end_1b - start_1b + 1)
             ).alias("_x"),
         )
-        .where(F.col("_x.pos") != F.col("center_pos"))
+        .where(
+            (F.col("_x.pos") != F.col("center_pos"))
+            & (F.abs(F.col("_x.pos") - F.col("center_pos")) <= window)
+        )
         .select(
             "walk_id", "center_pos", "center",
             F.col(f"_x.{node_col}").alias("context"),
@@ -229,12 +253,15 @@ def walks_py(pairs_rows, start_nodes, walk_length=12, walks_per_node=2):
         for w in range(walks_per_node):
             wid = int(node) * walks_per_node + w
             cur = int(node)
-            rows.append((wid, 0, cur))
+            path = [cur]
             for step in range(1, walk_length):
                 nbrs = adj.get(cur, [])
                 if not nbrs:
                     break
                 h = (wid * _HASH_A + step * _HASH_B + _HASH_C) % _HASH_M
                 cur = nbrs[h % len(nbrs)]
-                rows.append((wid, step, cur))
+                path.append(cur)
+            if len(path) < walk_length:
+                continue  # dead-ended walk dropped — same rule as both
+            rows.extend((wid, p, c) for p, c in enumerate(path))
     return rows

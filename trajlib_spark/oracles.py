@@ -568,7 +568,10 @@ GROUP BY doc_id
 
 
 
-_SDEDUP_BASE = 946684800  # 2000-01-01 UTC — epoch-0 event times are a
+# 2000-01-01 UTC: epoch-0 event times are a documented
+# dropDuplicatesWithinWatermark edge (the initial watermark treats them
+# as expired), so the replay starts a safe 30 years in.
+_SDEDUP_BASE = 946684800
 
 
 
