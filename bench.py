@@ -147,10 +147,13 @@ def prepare_pages(spark, n_pages: int) -> str:
     if not os.path.exists(marker):
         # many small files → many parquet row groups: row groups are the
         # real unit of scan parallelism (maxPartitionBytes can't split
-        # inside one), so ~15k pages/file keeps 100+ tasks available
+        # inside one), so ~15k pages/file keeps 100+ tasks available.
+        # The id range is pre-split (no-shuffle metadata split) instead of
+        # repartitioning the generated bytes — at 200M pages that exchange
+        # is a ~32 GB shuffle that spilled the 8g local-mode JVM
         n_files = max(32, n_pages // 15_000)
-        pages_src.generate_pages(spark, n_pages, skew=True).repartition(
-            n_files
+        pages_src.generate_pages(
+            spark, n_pages, skew=True, num_partitions=n_files
         ).write.mode("overwrite").parquet(path)
     return path
 

@@ -73,3 +73,17 @@ def test_skew_hotspot(spark):
     )
     total = pts.count()
     assert top["count"] / total > 0.02  # hot cell clearly skewed
+
+
+def test_generate_pages_partition_layout_invariant(spark):
+    """num_partitions pre-splits the id range before generation (the
+    no-shuffle path the big bench tables use); the TABLE must be
+    identical to the default-layout generation — row content is a pure
+    function of the id."""
+    from trajlib_spark.sources import pages as pages_src
+
+    a = pages_src.generate_pages(spark, 500, skew=True)
+    b = pages_src.generate_pages(spark, 500, skew=True, num_partitions=7)
+    ra = sorted((r.url, r.warc_ts, r.html, r.text, r.lang) for r in a.collect())
+    rb = sorted((r.url, r.warc_ts, r.html, r.text, r.lang) for r in b.collect())
+    assert ra == rb
