@@ -230,6 +230,29 @@ def timed_queries(spark, sf_dir: str, cpus: int) -> tuple[dict[str, float], dict
     return out, windows
 
 
+def replay_floor(spark) -> float:
+    """Fixed cost of the deterministic micro-batch replay harness alone
+    (VERDICT r5 #5): a 2-batch PASSTHROUGH through __spark_entry__'s
+    _replay_stream — parquet batch write → processAllAvailable → write →
+    processAllAvailable → memory-sink read, zero data-path work. The
+    streaming_* board rows read as this floor plus their data path; their
+    deltas are machinery scheduling, not data-volume regressions."""
+    import __spark_entry__ as E
+
+    b = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        E._replay_stream(
+            spark, [b, b], lambda s: s, "doc_id long, text string"
+        ).count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def flagship_stage_times(spark, sf_dir: str, pages_path: str) -> dict[str, float]:
     """Per-stage attribution of the flagship (VERDICT r3 item 6): each
     PREFIX of the pipeline (scan+mine, +cells, +PIP, +tiles) gets its own
@@ -662,6 +685,8 @@ def main() -> None:
     spark = get_spark(app_name="bench-queries", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     queries, query_windows = timed_queries(spark, sf_dir, cpus)
+    floor = replay_floor(spark)
+    log(f"  streaming replay floor: {floor}s")
     stages = flagship_stage_times(spark, sf_dir, prepare_pages(spark, n_pages))
     stop_spark(spark)
 
@@ -671,6 +696,7 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "query_windows": query_windows,
+        "streaming_replay_floor_sec": floor,
         "flagship_stages": stages,
         "sf": sf_dir.rstrip("/").rsplit("/", 1)[-1],
         "pages": n_pages,
@@ -782,7 +808,10 @@ def main() -> None:
                 + "\n".join(f"- {k}: {v}" for k, v in stages.items())
                 + "\n\nPer-query timings (noop sink, seconds):\n\n"
                 + "\n".join(f"- {k}: {v}" for k, v in queries.items())
-                + "\n"
+                + f"\n\nStreaming replay machinery floor (2-batch "
+                f"passthrough, zero data-path work): {floor} s — the "
+                "streaming_* rows read as this floor plus their data "
+                "path.\n"
                 + (
                     "\n## sf1 scale pilot (10× the bench scale, one pass)\n\n"
                     + "\n".join(f"- {k}: {v}" for k, v in result["sf1"].items())
