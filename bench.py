@@ -33,7 +33,15 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _ROOT)
+# python WORKERS don't inherit the driver's sys.path mutation — only
+# PYTHONPATH/cwd — so export it for location-independent invocation
+# (running bench.py from outside the repo otherwise dies unpickling any
+# mapInPandas closure that references trajlib_spark)
+os.environ["PYTHONPATH"] = (
+    _ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 from pyspark.sql import functions as F  # noqa: E402
 
