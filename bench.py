@@ -28,6 +28,7 @@ SPARK_GRAFT_SF1=0 / SPARK_GRAFT_SF10=0 to skip the scale pilots
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import sys
@@ -341,6 +342,20 @@ def _run_and_count_big(df) -> tuple[int, int]:
     return n, _plan_skew_count(cnt)
 
 
+@contextlib.contextmanager
+def _pilot_stage(out: dict, name: str, cores: int):
+    """Times a pilot stage AND records its contention window
+    (``{name}_sec`` + ``{name}_window``), so a round-over-round delta on
+    any sf1 stage is attributable to co-tenant noise from the record
+    alone — the r4→r5 measure_topk +21% question cost a verdict item
+    for want of exactly this."""
+    with _WindowMonitor(cores) as m:
+        t0 = time.time()
+        yield
+        out[f"{name}_sec"] = round(time.time() - t0, 2)
+    out[f"{name}_window"] = m.stats
+
+
 def sf1_pilot(sf_dir: str, cpus: int) -> dict:
     """Scale pilot (VERDICT r2 item 8): one pass at 10× the bench scale —
     20M-page flagship, 50k-doc minhash, 10×-trajectory measure_topk — to
@@ -355,9 +370,11 @@ def sf1_pilot(sf_dir: str, cpus: int) -> dict:
     try:
         # 1) flagship pipeline at 20M pages (generation cached, untimed)
         pages_path = prepare_pages(spark, 20_000_000)
-        dt = run_pipeline_once(spark, sf_dir, pages_path, 20_000_000)
-        out["flagship_sec"] = round(dt, 2)
-        out["flagship_pages_per_sec"] = round(20_000_000 / dt, 1)
+        with _pilot_stage(out, "flagship", cpus):
+            run_pipeline_once(spark, sf_dir, pages_path, 20_000_000)
+        out["flagship_pages_per_sec"] = round(
+            20_000_000 / out["flagship_sec"], 1
+        )
 
         # 2) minhash dedup at 50k docs: 10 deterministically salted copies
         # of the sf0.1 documents table (salt suffix changes the shingles)
@@ -369,13 +386,12 @@ def sf1_pilot(sf_dir: str, cpus: int) -> dict:
             (F.col("doc_id") + F.col("_salt") * 1_000_000).alias("doc_id"),
             F.concat("text", F.lit(" #"), F.col("_salt").cast("string")).alias("text"),
         ).repartition(cpus * 2, "doc_id")
-        t0 = time.time()
-        sigs = dedup.minhash_signatures(salted)
-        cands = dedup.lsh_candidates(sigs)
-        verified = dedup.ngram_jaccard_verify(salted, cands, threshold=0.5)
-        out["minhash_pairs"] = _run_and_count(verified)
+        with _pilot_stage(out, "minhash", cpus):
+            sigs = dedup.minhash_signatures(salted)
+            cands = dedup.lsh_candidates(sigs)
+            verified = dedup.ngram_jaccard_verify(salted, cands, threshold=0.5)
+            out["minhash_pairs"] = _run_and_count(verified)
         out["minhash_docs"] = 50_000
-        out["minhash_sec"] = round(time.time() - t0, 2)
         out["minhash_skew_splits"] = _plan_skew_count(verified)
         # pairs → dedup groups: connected components over the verified
         # pair table (~250k pairs at this scale, tight size-10 clusters).
@@ -383,10 +399,9 @@ def sf1_pilot(sf_dir: str, cpus: int) -> dict:
         # minhash stage already measured above) so the CC timing is the
         # components stage alone, not a pipeline recompute.
         pairs = verified.select("i", "j").localCheckpoint(eager=True)
-        t0 = time.time()
-        comp = dedup.connected_components(pairs)
-        out["dedup_component_nodes"] = _run_and_count(comp)
-        out["dedup_components_sec"] = round(time.time() - t0, 2)
+        with _pilot_stage(out, "dedup_components", cpus):
+            comp = dedup.connected_components(pairs)
+            out["dedup_component_nodes"] = _run_and_count(comp)
         spark.catalog.clearCache()
 
         # 3) measure_topk (exact grid-pruned Hausdorff) over 10× the
@@ -405,12 +420,11 @@ def sf1_pilot(sf_dir: str, cpus: int) -> dict:
         polys = similarity.collect_polylines(rep).persist()
         n_traj = polys.count()
         qs = polys.where(F.col("traj_id") % 300 == 0)
-        t0 = time.time()
-        topk = similarity.measure_topk(polys, qs, "hausdorff", k=5,
-                                       grid=G, ring=8)
-        topk.write.format("noop").mode("overwrite").save()
+        with _pilot_stage(out, "measure_topk", cpus):
+            topk = similarity.measure_topk(polys, qs, "hausdorff", k=5,
+                                           grid=G, ring=8)
+            topk.write.format("noop").mode("overwrite").save()
         out["measure_topk_trajs"] = int(n_traj)
-        out["measure_topk_sec"] = round(time.time() - t0, 2)
         polys.unpersist()
         spark.catalog.clearCache()
 
@@ -424,10 +438,9 @@ def sf1_pilot(sf_dir: str, cpus: int) -> dict:
         _, edge_nodes, _ = roads.road_grid_arrays(G)
         edges = roads.road_edges(spark, G)
         pc = cells.with_cell(rep, G)
-        t0 = time.time()
-        matched = mm_ops.match_trajectories(pc, edges, G, edge_nodes)
-        out["map_match_points"] = _run_and_count(matched)
-        out["map_match_sec"] = round(time.time() - t0, 2)
+        with _pilot_stage(out, "map_match", cpus):
+            matched = mm_ops.match_trajectories(pc, edges, G, edge_nodes)
+            out["map_match_points"] = _run_and_count(matched)
         out["map_match_skew_splits"] = _plan_skew_count(matched)
         spark.catalog.clearCache()
 
@@ -437,11 +450,10 @@ def sf1_pilot(sf_dir: str, cpus: int) -> dict:
 
         pairs = cells.neighbour_cell_pairs(spark, G)
         starts = pc.select("cell_id").distinct()
-        t0 = time.time()
-        walks = walk_ops.node2vec_walks(pairs, starts, walk_length=12,
-                                        walks_per_node=2)
-        out["cell_walks_rows"] = _run_and_count(walks)
-        out["cell_walks_sec"] = round(time.time() - t0, 2)
+        with _pilot_stage(out, "cell_walks", cpus):
+            walks = walk_ops.node2vec_walks(pairs, starts, walk_length=12,
+                                            walks_per_node=2)
+            out["cell_walks_rows"] = _run_and_count(walks)
         out["cell_walks_skew_splits"] = _plan_skew_count(walks)
         spark.catalog.clearCache()
 
@@ -450,27 +462,26 @@ def sf1_pilot(sf_dir: str, cpus: int) -> dict:
         # slice-bounded skip-gram fan at their real shape (VERDICT r4 #3).
         # Walks are checkpointed untimed-out of the skip-gram window so the
         # two stages attribute separately.
-        t0 = time.time()
-        walks50 = walk_ops.node2vec_walks(pairs, starts, walk_length=50,
-                                          walks_per_node=10, impl="catalyst")
-        # checkpoint IS the timed materialization of the 49-join chain;
-        # the count then reads the checkpoint blocks instead of re-running
-        w50 = walks50.localCheckpoint(eager=True)
-        out["walks50_sec"] = round(time.time() - t0, 2)
+        with _pilot_stage(out, "walks50", cpus):
+            walks50 = walk_ops.node2vec_walks(
+                pairs, starts, walk_length=50, walks_per_node=10,
+                impl="catalyst",
+            )
+            # checkpoint IS the timed materialization of the 49-join chain;
+            # the count then reads the checkpoint blocks, not a re-run
+            w50 = walks50.localCheckpoint(eager=True)
         out["walks50_rows"] = int(w50.count())
         # the broadcast-adjacency Arrow fast path at the same shape
         # (bit-identical walks; the right plan for metadata-scale graphs)
-        t0 = time.time()
-        wa = walk_ops.node2vec_walks(pairs, starts, walk_length=50,
-                                     walks_per_node=10, impl="arrow")
-        out["walks50_arrow_rows"], _ = _run_and_count_big(wa)
-        out["walks50_arrow_sec"] = round(time.time() - t0, 2)
-        t0 = time.time()
-        sg = walk_ops.skipgram_pairs(w50, window=10)
-        out["skipgrams50_rows"], out["skipgrams50_skew_splits"] = (
-            _run_and_count_big(sg)
-        )
-        out["skipgrams50_sec"] = round(time.time() - t0, 2)
+        with _pilot_stage(out, "walks50_arrow", cpus):
+            wa = walk_ops.node2vec_walks(pairs, starts, walk_length=50,
+                                         walks_per_node=10, impl="arrow")
+            out["walks50_arrow_rows"], _ = _run_and_count_big(wa)
+        with _pilot_stage(out, "skipgrams50", cpus):
+            sg = walk_ops.skipgram_pairs(w50, window=10)
+            out["skipgrams50_rows"], out["skipgrams50_skew_splits"] = (
+                _run_and_count_big(sg)
+            )
         w50.unpersist()
         spark.catalog.clearCache()
 
@@ -483,10 +494,9 @@ def sf1_pilot(sf_dir: str, cpus: int) -> dict:
             F.col("id").alias("i"), (F.col("id") + 1).alias("j")
         ).repartition(cpus)
         cc_stats: dict = {}
-        t0 = time.time()
-        comp = dedup.connected_components(chain, stats=cc_stats)
-        out["dedup_components_chain_nodes"] = _run_and_count(comp)
-        out["dedup_components_chain_sec"] = round(time.time() - t0, 2)
+        with _pilot_stage(out, "dedup_components_chain", cpus):
+            comp = dedup.connected_components(chain, stats=cc_stats)
+            out["dedup_components_chain_nodes"] = _run_and_count(comp)
         out["dedup_components_chain_rounds"] = cc_stats.get("rounds")
         spark.catalog.clearCache()
         out["peak_jvm_rss_gb"] = _jvm_peak_rss_gb()
