@@ -233,7 +233,7 @@ def timed_queries(spark, sf_dir: str, cpus: int) -> tuple[dict[str, float], dict
         windows[name] = {**best_win, "passes": passes}
         log(f"  q {name}: {out[name]}s {best_win}")
         # operators persist bounded intermediates (signature/banded/anchor
-        # tables) whose blocks would otherwise accumulate across the 22×2
+        # tables) whose blocks would otherwise accumulate across the 32×2
         # timed runs and skew later queries (ADVICE r2)
         spark.catalog.clearCache()
     return out, windows
