@@ -1416,28 +1416,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every query's evidence must stay ≤ 1 round old, so the queries whose
     # latest green row is OLDEST come first. The registry is exactly 60
     # queries (consolidated 69→60 in r5, VERDICT r4 item 2).
-    # r6 order: (a) the 10 queries whose latest row is r04 (the r05 cap
-    # cut them); (b) queries CHANGED this round — walks.py gained the
-    # auto→arrow default and the index-space skip-gram slice, so
-    # cell_walks + walk_skipgrams re-prove themselves; (c) unchanged
-    # r05-green queries, the last 10 of which the cap cuts (their r05
-    # rows stay exactly one round old).
+    # r7 order (VERDICT r6 #1): (a) the 10 queries whose latest row is
+    # r05 (the r06 cap cut them); (b) queries CHANGED this round —
+    # walks.py's auto mode now evaluates the edge list once (ADVICE r6),
+    # so cell_walks + walk_skipgrams re-prove themselves; (c) unchanged
+    # r06-green queries, the last 10 of which the cap cuts (their r06
+    # rows stay exactly one round old — the tail is the group that led
+    # the r6 registry, i.e. the most recently re-proven).
     return {
-        # --- (a) latest row is r04 (rotated out by the r05 cap) ---
-        "video_frames": q_video_frames,
-        "symmetrize_norm": q_symmetrize_norm,
-        "fed_split": q_fed_split,
-        "augment_time_shift": q_augment_time_shift,
-        "newsimi_raw": q_newsimi_raw,
-        "neighbour_pairs": q_neighbour_pairs,
-        "describe_stats": q_describe,
-        "events_running": q_events_running,
-        "top_customers": q_top_customers,
-        "pricing_summary": q_pricing_summary,
-        # --- (b) changed this round (operators/walks.py) ---
+        # --- (a) latest row is r05 (rotated out by the r06 cap) ---
+        "pip_join": q_pip_join,
+        "knn": q_knn,
+        "tile_pyramid": q_tile_pyramid,
+        "sessionize": q_sessionize,
+        "traj_stats": q_traj_stats,
+        "segment_cut": q_segment_cut,
+        "segment_pairs": q_segment_pairs,
+        "similarity_edwp": q_similarity_edwp,
+        "cluster_segments": q_cluster_segments,
+        "cluster_merge": q_cluster_merge,
+        # --- (b) changed this round (operators/walks.py auto mode) ---
         "cell_walks": q_cell_walks,
         "walk_skipgrams": q_walk_skipgrams,
-        # --- (c) unchanged, green in r05 ---
+        # --- (c) unchanged, green in r06 ---
         "pages_points": q_pages_points,
         "porto_clean": q_porto_clean,
         "porto_points": q_porto_points,
@@ -1476,18 +1477,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "vocab_topk": q_vocab_topk,
         "tfidf_topterms": q_tfidf_topterms,
-        # --- overflow tail (position > 50): all green in r05, unchanged —
+        # --- overflow tail (position > 50): all green in r06, unchanged —
         # a 50-row cap leaves their evidence exactly one round old
-        "pip_join": q_pip_join,
-        "knn": q_knn,
-        "tile_pyramid": q_tile_pyramid,
-        "sessionize": q_sessionize,
-        "traj_stats": q_traj_stats,
-        "segment_cut": q_segment_cut,
-        "segment_pairs": q_segment_pairs,
-        "similarity_edwp": q_similarity_edwp,
-        "cluster_segments": q_cluster_segments,
-        "cluster_merge": q_cluster_merge,
+        "video_frames": q_video_frames,
+        "symmetrize_norm": q_symmetrize_norm,
+        "fed_split": q_fed_split,
+        "augment_time_shift": q_augment_time_shift,
+        "newsimi_raw": q_newsimi_raw,
+        "neighbour_pairs": q_neighbour_pairs,
+        "describe_stats": q_describe,
+        "events_running": q_events_running,
+        "top_customers": q_top_customers,
+        "pricing_summary": q_pricing_summary,
     }
 
 

@@ -186,3 +186,16 @@ def test_skipgram_window_ten_covers_reference_context(spark, pairs):
     n = walks.skipgram_pairs(w, window=10).count()
     # ordered pairs within |Δpos| ≤ 10 among 12 positions: 12·11 − 2
     assert n == 12 * 11 - 2
+
+
+def test_auto_walks_bit_identical_with_precollected_rows(spark, pairs):
+    """auto mode feeds its single bounded collect straight into the arrow
+    adjacency (ADVICE r6: the edge-list plan is evaluated exactly once) —
+    output stays bit-identical to both explicit impls."""
+    starts = spark.createDataFrame([(7,), (42,), (99,)], "cell_id long")
+    a = sorted(map(tuple, walks.node2vec_walks(pairs, starts, 8, 2).collect()))
+    b = sorted(map(tuple, walks.node2vec_walks(
+        pairs, starts, 8, 2, impl="arrow").collect()))
+    c = sorted(map(tuple, walks.node2vec_walks(
+        pairs, starts, 8, 2, impl="catalyst").collect()))
+    assert a == b == c and len(a) == 3 * 2 * 8

@@ -78,18 +78,29 @@ def node2vec_walks(
     partitions — bit-identical output (same integer hash chooser), the
     right plan when the graph is metadata-scale (bounded by the grid,
     not the data), which the cell graph always is (6.7–25× at the
-    reference walk shape, VERDICT r5). ``impl='auto'`` (default) counts
-    the edge list once — one cheap aggregate against 49 saved join
-    stages — and picks arrow iff it holds ≤ ``max_broadcast_edges``
-    undirected pairs (the grid cell graph is always far below this;
+    reference walk shape, VERDICT r5). ``impl='auto'`` (default)
+    evaluates the edge-list plan ONCE via a driver collect bounded to
+    ``max_broadcast_edges``+1 rows (CollectLimit early-outs the scan for
+    data-scale edge lists) and picks arrow iff the whole list fit — the
+    collected rows feed the arrow adjacency directly, so the arrow
+    branch never re-evaluates the plan (ADVICE r6: the old
+    count-then-collect form evaluated an expensive edge-list plan
+    twice). The grid cell graph is always far below the bound;
     data-scale graphs that would blow the broadcast stay on the
-    chain)."""
+    chain (whose per-step joins re-read the — typically stored — edge
+    list)."""
     if impl == "auto":
-        impl = (
-            "arrow"
-            if pairs.groupBy().count().collect()[0][0] <= max_broadcast_edges
-            else "catalyst"
+        rows = (
+            pairs.select("src_cell", "dst_cell")
+            .limit(max_broadcast_edges + 1)
+            .collect()
         )
+        if len(rows) <= max_broadcast_edges:
+            return _walks_arrow(
+                pairs, start_nodes, walk_length, walks_per_node, node_col,
+                edge_rows=rows,
+            )
+        impl = "catalyst"
     if impl == "arrow":
         return _walks_arrow(pairs, start_nodes, walk_length, walks_per_node, node_col)
     if impl != "catalyst":
@@ -132,14 +143,19 @@ def _walks_arrow(
     walk_length: int,
     walks_per_node: int,
     node_col: str,
+    edge_rows=None,
 ) -> DataFrame:
     """One-pass walk generation over a broadcast adjacency — see
     node2vec_walks(impl='arrow'). The adjacency collect is bounded by the
-    GRAPH (metadata-scale for the grid cell graph), never by the data."""
+    GRAPH (metadata-scale for the grid cell graph), never by the data;
+    auto mode passes its already-collected ``edge_rows`` so the edge-list
+    plan is evaluated exactly once end-to-end."""
     import pandas as pd
 
     adj: dict[int, list[int]] = {}
-    for r in pairs.select("src_cell", "dst_cell").collect():
+    if edge_rows is None:
+        edge_rows = pairs.select("src_cell", "dst_cell").collect()
+    for r in edge_rows:
         s, d = int(r[0]), int(r[1])
         adj.setdefault(s, []).append(d)
         adj.setdefault(d, []).append(s)
@@ -202,12 +218,17 @@ def skipgram_pairs(
     bound makes the fan linear — ≤ 2·window+1 context rows materialized
     per center instead of the full L (at the reference's walk_length 50
     / window 10 the unbounded double-explode fanned 2 500 rows per walk
-    for ~900 kept, VERDICT r4 #3). The index-space slice is always a
-    superset of the position window: positions strictly increase along
-    the sorted array, so |pos_x − pos_c| ≤ window ⇒ |idx_x − idx_c| ≤
-    window — walks with non-contiguous positions (filtered or truncated
-    upstream) get exactly the position-window semantics, just via a
-    slice that may carry a few extra rows into the cheap final filter.
+    for ~900 kept, VERDICT r4 #3). PRECONDITION (ADVICE r6): ``walks``
+    must hold at most one row per (walk_id, pos) — what node2vec_walks
+    emits. Under it the index-space slice is always a superset of the
+    position window: positions strictly increase along the sorted array,
+    so |pos_x − pos_c| ≤ window ⇒ |idx_x − idx_c| ≤ window — walks with
+    non-contiguous positions (filtered or truncated upstream) get
+    exactly the position-window semantics, just via a slice that may
+    carry a few extra rows into the cheap final filter. Duplicate
+    (walk_id, pos) rows (e.g. a unioned walk table that reused ids)
+    break the strict-increase step and can silently drop in-window
+    pairs — dedupe or re-id such tables before calling.
     A walk_id self-join would shuffle the table twice AND evaluate the
     walk-generation chain twice (it is not cached); the collect form
     evaluates it once."""
