@@ -191,22 +191,104 @@ def run_pipeline_once(spark, sf_dir: str, pages_path: str, n_pages: int) -> floa
     return time.time() - t0
 
 
-def timed_queries(spark, sf_dir: str, cpus: int) -> tuple[dict[str, float], dict]:
+# per-board-query source files (beyond the query function's own source,
+# hashed via inspect) — the pool key for BENCH/query_history.jsonl: a
+# byte change to any file a query executes starts it a fresh pool, so a
+# pooled minimum can never quote a faster, older version of the code
+# (VERDICT r6 #2: extend the pair-history pooling to the board).
+_QUERY_COMMON = ["trajlib_spark/sources/synth.py", "trajlib_spark/config.py",
+                 "trajlib_spark/session.py"]
+_QUERY_SRC: dict[str, list[str]] = {
+    "cell_assign": ["trajlib_spark/operators/cells.py"],
+    "tile_pyramid": ["trajlib_spark/operators/raster.py",
+                     "trajlib_spark/operators/cells.py"],
+    "stay_collapse": ["trajlib_spark/operators/staypoints.py",
+                      "trajlib_spark/operators/cells.py"],
+    "sessionize": ["trajlib_spark/operators/staypoints.py"],
+    "pip_join": ["trajlib_spark/operators/spatial_join.py",
+                 "trajlib_spark/operators/cells.py"],
+    "knn": ["trajlib_spark/operators/knn.py", "trajlib_spark/operators/cells.py"],
+    "point_features": ["trajlib_spark/operators/features.py"],
+    "traj_stats": ["trajlib_spark/operators/features.py"],
+    "segment_pairs": ["trajlib_spark/operators/segment.py",
+                      "trajlib_spark/kernels/traclus.py",
+                      "trajlib_spark/kernels/clustering.py"],
+    "dedup_exact": ["trajlib_spark/operators/dedup.py"],
+    "text_features": ["trajlib_spark/operators/text.py"],
+    "ann_topk": ["trajlib_spark/operators/ann.py"],
+    "segment_cut": ["trajlib_spark/operators/segment.py",
+                    "trajlib_spark/kernels/traclus.py"],
+    "minhash_lsh": ["trajlib_spark/operators/dedup.py"],
+    "doc_fingerprint": ["trajlib_spark/operators/text.py"],
+    "simhash": ["trajlib_spark/operators/dedup.py"],
+    "symmetrize_norm": ["trajlib_spark/operators/similarity.py"],
+    "newsimi_raw": ["trajlib_spark/operators/segment.py",
+                    "trajlib_spark/operators/newsimi.py"],
+    "media_all": ["trajlib_spark/operators/multimodal.py"],
+    "embedding_near_dups": ["trajlib_spark/operators/dedup.py"],
+    "measure_topk_lcss": ["trajlib_spark/operators/similarity.py",
+                          "trajlib_spark/kernels/dp_distances.py"],
+    "map_match": ["trajlib_spark/operators/map_match.py",
+                  "trajlib_spark/kernels/viterbi.py",
+                  "trajlib_spark/sources/roads.py",
+                  "trajlib_spark/operators/cells.py"],
+    "cell_walks": ["trajlib_spark/operators/walks.py",
+                   "trajlib_spark/operators/cells.py"],
+    "video_frames": ["trajlib_spark/operators/multimodal.py"],
+    "walk_skipgrams": ["trajlib_spark/operators/walks.py",
+                       "trajlib_spark/operators/cells.py"],
+    "matched_edge_graph": ["trajlib_spark/operators/map_match.py",
+                           "trajlib_spark/kernels/viterbi.py",
+                           "trajlib_spark/sources/roads.py",
+                           "trajlib_spark/operators/cells.py"],
+    "ann_ivf_recall": ["trajlib_spark/operators/ann.py"],
+    "dedup_components": ["trajlib_spark/operators/dedup.py"],
+    "vocab_topk": ["trajlib_spark/operators/text.py"],
+    "tfidf_topterms": ["trajlib_spark/operators/text.py"],
+    "lm_score": ["trajlib_spark/operators/text.py"],
+    "streaming_dedup": ["trajlib_spark/streaming/dedup.py",
+                        "trajlib_spark/streaming/stateful.py"],
+}
+
+
+def _query_source_hash(name: str, fn) -> str:
+    """Pool key for one board query: sha256 over the query function's own
+    source (the __spark_entry__ wiring) + the operator/kernel modules it
+    executes (_QUERY_SRC) + the session/config/synth base every query
+    shares."""
+    import inspect
+
+    try:
+        src = inspect.getsource(fn).encode()
+    except (OSError, TypeError):
+        src = repr(fn).encode()
+    return _files_hash(_QUERY_SRC.get(name, []) + _QUERY_COMMON, extra=src)
+
+
+# the bench board — every name must have a _QUERY_SRC entry (tested)
+_BOARD_QUERIES = [
+    "cell_assign", "tile_pyramid", "stay_collapse", "sessionize",
+    "pip_join", "knn", "point_features", "traj_stats", "segment_pairs",
+    "dedup_exact", "text_features",
+    "ann_topk", "segment_cut", "minhash_lsh", "doc_fingerprint",
+    "simhash", "symmetrize_norm", "newsimi_raw", "media_all",
+    "embedding_near_dups", "measure_topk_lcss", "map_match", "cell_walks",
+    "video_frames", "walk_skipgrams", "matched_edge_graph",
+    "ann_ivf_recall", "dedup_components", "vocab_topk",
+    "tfidf_topterms", "lm_score", "streaming_dedup",
+]
+
+
+def timed_queries(
+    spark, sf_dir: str, cpus: int
+) -> tuple[dict[str, float], dict[str, float], dict]:
     import __spark_entry__ as E
 
-    names = [
-        "cell_assign", "tile_pyramid", "stay_collapse", "sessionize",
-        "pip_join", "knn", "point_features", "traj_stats", "segment_pairs",
-        "dedup_exact", "text_features",
-        "ann_topk", "segment_cut", "minhash_lsh", "doc_fingerprint",
-        "simhash", "symmetrize_norm", "newsimi_raw", "media_all",
-        "embedding_near_dups", "measure_topk_lcss", "map_match", "cell_walks",
-        "video_frames", "walk_skipgrams", "matched_edge_graph",
-        "ann_ivf_recall", "dedup_components", "vocab_topk",
-        "tfidf_topterms", "lm_score", "streaming_dedup",
-    ]
+    names = _BOARD_QUERIES
     qs = E.queries()
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     out = {}
+    pooled: dict[str, float] = {}
     windows: dict[str, dict] = {}
     for name in names:
         # min of 2 passes (pass 1 also absorbs python-worker/JIT warmup);
@@ -218,6 +300,7 @@ def timed_queries(spark, sf_dir: str, cpus: int) -> tuple[dict[str, float], dict
         best_win: dict = {}
         clean_seen = False
         passes = 0
+        pass_recs: list[dict] = []
         while passes < 2 or (not clean_seen and passes < 4):
             passes += 1
             with _WindowMonitor(cpus) as mon:
@@ -226,17 +309,38 @@ def timed_queries(spark, sf_dir: str, cpus: int) -> tuple[dict[str, float], dict
                 dt = time.time() - t0
             if not mon.contended:
                 clean_seen = True
+            # warm-up pass 1 is recorded but never pooled: its JIT /
+            # python-worker startup inflates the time one-sidedly, which
+            # the min discounts anyway — excluding it just keeps the pool
+            # from wasting its bounded window on known-slow samples
+            if passes > 1:
+                pass_recs.append({
+                    "sec": round(dt, 3), "clean": not mon.contended,
+                    "win": mon.stats,
+                })
             # a clean-window pass always beats a contended one of any time
             if best is None or (mon.contended, dt) < (best_win["contended"], best):
                 best, best_win = dt, mon.stats
         out[name] = round(best, 3)
-        windows[name] = {**best_win, "passes": passes}
-        log(f"  q {name}: {out[name]}s {best_win}")
+        # pooled clean minimum across runs (VERDICT r6 #2/#3): the board
+        # record is min over the last 12 clean windows at this query's
+        # source hash — this run's clean passes included — so one noisy
+        # round can never move the record sheet; this run's own number
+        # stays in `queries_run` for round-over-round visibility.
+        key = {"q": name, "src": _query_source_hash(name, qs[name]),
+               "sf": sf_name, "cores": cpus}
+        _append_history("query_history.jsonl", pass_recs,
+                        {**key, "at": time.strftime("%Y-%m-%d %H:%M:%S")})
+        hist = _load_clean_history("query_history.jsonl", key)
+        pooled[name] = min(r["sec"] for r in hist) if hist else out[name]
+        windows[name] = {**best_win, "passes": passes, "pool": len(hist)}
+        log(f"  q {name}: {out[name]}s (pooled {pooled[name]}s over "
+            f"{len(hist)}) {best_win}")
         # operators persist bounded intermediates (signature/banded/anchor
         # tables) whose blocks would otherwise accumulate across the 32×2
         # timed runs and skew later queries (ADVICE r2)
         spark.catalog.clearCache()
-    return out, windows
+    return out, pooled, windows
 
 
 def replay_floor(spark) -> float:
@@ -356,11 +460,70 @@ def _pilot_stage(out: dict, name: str, cores: int):
     out[f"{name}_window"] = m.stats
 
 
+# source files behind each sf1 pilot stage — the pool key for
+# BENCH/sf1_history.jsonl (VERDICT r6 #4: sf1 absolutes inflate 10-30%
+# even under the 2% steal gate, so round-over-round sf1 comparisons use
+# pooled clean minima exactly like the scaling efficiency does). The
+# sf1_pilot function's own source is hashed in as well, so a change to
+# the input salting/shape also resets the pools.
+_SF1_STAGE_SRC: dict[str, list[str]] = {
+    # "flagship" maps to _FLAGSHIP_FILES (defined below; filled at call
+    # time in _pool_pilot_stages)
+    "minhash": ["trajlib_spark/operators/dedup.py"],
+    "dedup_components": ["trajlib_spark/operators/dedup.py"],
+    "measure_topk": ["trajlib_spark/operators/similarity.py",
+                     "trajlib_spark/kernels/dp_distances.py",
+                     "trajlib_spark/operators/cells.py"],
+    "map_match": ["trajlib_spark/operators/map_match.py",
+                  "trajlib_spark/kernels/viterbi.py",
+                  "trajlib_spark/sources/roads.py",
+                  "trajlib_spark/operators/cells.py"],
+    "cell_walks": ["trajlib_spark/operators/walks.py",
+                   "trajlib_spark/operators/cells.py"],
+    "walks50": ["trajlib_spark/operators/walks.py",
+                "trajlib_spark/operators/cells.py"],
+    "walks50_arrow": ["trajlib_spark/operators/walks.py",
+                      "trajlib_spark/operators/cells.py"],
+    "skipgrams50": ["trajlib_spark/operators/walks.py"],
+    "dedup_components_chain": ["trajlib_spark/operators/dedup.py"],
+}
+
+
+def _pool_pilot_stages(out: dict, cpus: int) -> None:
+    """Append every completed sf1 stage (time + contention window) to
+    BENCH/sf1_history.jsonl and attach the pooled clean minimum
+    (``{stage}_sec_pooled`` + ``{stage}_pool``) next to each this-run
+    number — min over the last ≤12 clean windows at the stage's source
+    hash."""
+    import inspect
+
+    pilot_src = inspect.getsource(sf1_pilot).encode()
+    srcs = dict(_SF1_STAGE_SRC)
+    srcs["flagship"] = _FLAGSHIP_FILES
+    for stage, files in srcs.items():
+        sec = out.get(f"{stage}_sec")
+        win = out.get(f"{stage}_window")
+        if sec is None or win is None:
+            continue
+        key = {"kind": "sf1", "stage": stage, "cores": cpus,
+               "src": _files_hash(files, extra=pilot_src)}
+        _append_history(
+            "sf1_history.jsonl",
+            [{"sec": sec, "win": win, "clean": not win.get("contended", True)}],
+            {**key, "at": time.strftime("%Y-%m-%d %H:%M:%S")},
+        )
+        hist = _load_clean_history("sf1_history.jsonl", key)
+        if hist:
+            out[f"{stage}_sec_pooled"] = min(r["sec"] for r in hist)
+            out[f"{stage}_pool"] = len(hist)
+
+
 def sf1_pilot(sf_dir: str, cpus: int) -> dict:
     """Scale pilot (VERDICT r2 item 8): one pass at 10× the bench scale —
     20M-page flagship, 50k-doc minhash, 10×-trajectory measure_topk — to
     surface skew/spill that local[32]@sf0.1 cannot. Records wall times,
-    the executor JVM's peak RSS, and AQE skew-split counts."""
+    the executor JVM's peak RSS, and AQE skew-split counts. Every stage
+    is then pooled via _pool_pilot_stages (VERDICT r6 #4)."""
     import __spark_entry__ as E
     from trajlib_spark.operators import dedup, similarity
 
@@ -504,30 +667,40 @@ def sf1_pilot(sf_dir: str, cpus: int) -> dict:
         out["error"] = f"{type(ex).__name__}: {ex}"
     finally:
         stop_spark(spark)
+    _pool_pilot_stages(out, cpus)
     return out
+
+
+def _files_hash(files: list[str], extra: bytes = b"") -> str:
+    """Content hash of repo-relative source files (+ optional extra
+    bytes) — the pool/cache key primitive: a measurement pool only stays
+    valid while the code it measured is byte-identical."""
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256(extra)
+    for rel in files:  # caller's order — keeps r6 pool keys valid
+        h.update(open(os.path.join(root, rel), "rb").read())
+    return h.hexdigest()[:12]
+
+
+_FLAGSHIP_FILES = [
+    "trajlib_spark/operators/cells.py",
+    "trajlib_spark/operators/extract.py",
+    "trajlib_spark/operators/spatial_join.py",
+    "trajlib_spark/operators/raster.py",
+    "trajlib_spark/sources/pages.py",
+    "trajlib_spark/sources/synth.py",
+    "trajlib_spark/config.py",
+    "trajlib_spark/session.py",
+]
 
 
 def _flagship_source_hash() -> str:
     """Content hash of every source file the flagship pipeline executes —
     the sf10 cache key (rerun the 200M-page pass iff the code it measures
     changed)."""
-    import hashlib
-
-    root = os.path.dirname(os.path.abspath(__file__))
-    files = [
-        "trajlib_spark/operators/cells.py",
-        "trajlib_spark/operators/extract.py",
-        "trajlib_spark/operators/spatial_join.py",
-        "trajlib_spark/operators/raster.py",
-        "trajlib_spark/sources/pages.py",
-        "trajlib_spark/sources/synth.py",
-        "trajlib_spark/config.py",
-        "trajlib_spark/session.py",
-    ]
-    h = hashlib.sha256()
-    for rel in files:
-        h.update(open(os.path.join(root, rel), "rb").read())
-    return h.hexdigest()[:12]
+    return _files_hash(_FLAGSHIP_FILES)
 
 
 def sf10_pilot(sf_dir: str, cpus: int) -> dict:
@@ -550,7 +723,11 @@ def sf10_pilot(sf_dir: str, cpus: int) -> dict:
             cached = json.load(open(cache))
         except (OSError, ValueError):
             cached = None
-        if cached and cached.get("source_hash") == key and "error" not in cached:
+        if (
+            cached and cached.get("source_hash") == key
+            and "error" not in cached
+            and not cached.get("window", {}).get("contended")
+        ):
             log("sf10: reusing BENCH/SF10.json (source hash unchanged)")
             return cached
     n = 200_000_000
@@ -583,9 +760,16 @@ def sf10_pilot(sf_dir: str, cpus: int) -> dict:
         out["pip_skew_splits"] = _plan_skew_count(pip_cnt)
         out["tiles_skew_splits"] = _plan_skew_count(tiles_cnt)
         out["peak_jvm_rss_gb"] = _jvm_peak_rss_gb()
-        os.makedirs("BENCH", exist_ok=True)
-        with open(cache, "w") as f:
-            json.dump(out, f)
+        # ADVICE r6 (medium): a contended window must not become the
+        # persistent record — skip the cache so the next bench run
+        # measures live, consistent with the BASELINE.md overwrite guard
+        if mon.contended:
+            log("sf10: window CONTENDED — result NOT cached, next bench "
+                "run re-measures live")
+        else:
+            os.makedirs("BENCH", exist_ok=True)
+            with open(cache, "w") as f:
+                json.dump(out, f)
     except Exception as ex:  # noqa: BLE001 — pilot must never sink the bench
         out["error"] = f"{type(ex).__name__}: {ex}"
     finally:
@@ -593,25 +777,129 @@ def sf10_pilot(sf_dir: str, cpus: int) -> dict:
     return out
 
 
-def _append_pair_history(recs: list[dict], key: dict) -> None:
+_SF10_DEDUP_FILES = ["trajlib_spark/operators/dedup.py"]
+
+
+def sf10_dedup_pilot(sf_dir: str, cpus: int) -> dict:
+    """Second 100×-scale probe (VERDICT r6 #5): the dedup family — the
+    other 100 TB-critical path — at one decade beyond its sf1 evidence.
+
+    1. ``minhash`` at 500k docs: 100 deterministically salted copies of
+       the sf0.1 documents table. Salts 0-9 keep the sf1 rule (suffix-only
+       change → within-decade near-dups, ~C(10,2)·n_docs verified pairs);
+       salts 10-99 additionally replace every vowel with a salt-unique
+       token, so those copies are near-dups of NOTHING — the corpus
+       scales 10× while the true-pair structure stays the sf1 shape,
+       isolating how the signature + banded-join stages scale from a
+       quadratic blow-up of the verify output (real corpora do not carry
+       100-member duplicate cliques as their dominant structure).
+    2. ``components_chain``: connected components on a 1M-node chain
+       (diameter 999 999) — pointer jumping must close it in ~log2(n)
+       rounds (sf1's 100k chain: 17 rounds).
+
+    Cached in BENCH/SF10_DEDUP.json keyed on operators/dedup.py + this
+    function's own source; a run with any contended stage window is
+    never cached (ADVICE r6), and a cached contended result is never
+    reused."""
+    import inspect
+
+    from trajlib_spark.operators import dedup
+
+    cache = os.path.join("BENCH", "SF10_DEDUP.json")
+    key = _files_hash(
+        _SF10_DEDUP_FILES, extra=inspect.getsource(sf10_dedup_pilot).encode()
+    )
+    stages = ("minhash", "components_chain")
+    if os.environ.get("SPARK_GRAFT_SF10", "") != "live" and os.path.exists(cache):
+        try:
+            cached = json.load(open(cache))
+        except (OSError, ValueError):
+            cached = None
+        if (
+            cached and cached.get("source_hash") == key
+            and "error" not in cached
+            and not any(
+                cached.get(f"{s}_window", {}).get("contended") for s in stages
+            )
+        ):
+            log("sf10_dedup: reusing BENCH/SF10_DEDUP.json (source hash "
+                "unchanged)")
+            return cached
+    out: dict = {"source_hash": key, "minhash_docs": 500_000,
+                 "measured_at": time.strftime("%Y-%m-%d %H:%M:%S")}
+    log("sf10_dedup pilot: 500k-doc minhash + 1M-node chain components")
+    spark = get_spark(app_name="bench-sf10-dedup", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        salted = docs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(99))).alias("_salt"),
+            "doc_id", "text",
+        ).select(
+            (F.col("doc_id") + F.col("_salt") * 1_000_000).alias("doc_id"),
+            F.concat(
+                F.when(F.col("_salt") < 10, F.col("text")).otherwise(
+                    F.regexp_replace(
+                        F.col("text"), F.lit("[aeiou]"),
+                        F.concat(F.lit("~"), F.col("_salt").cast("string")),
+                    )
+                ),
+                F.lit(" #"), F.col("_salt").cast("string"),
+            ).alias("text"),
+        ).repartition(cpus * 4, "doc_id")
+        with _pilot_stage(out, "minhash", cpus):
+            sigs = dedup.minhash_signatures(salted)
+            cands = dedup.lsh_candidates(sigs)
+            verified = dedup.ngram_jaccard_verify(salted, cands, threshold=0.5)
+            out["minhash_pairs"] = _run_and_count(verified)
+        out["minhash_skew_splits"] = _plan_skew_count(verified)
+        spark.catalog.clearCache()
+
+        chain = spark.range(999_999).select(
+            F.col("id").alias("i"), (F.col("id") + 1).alias("j")
+        ).repartition(cpus)
+        cc_stats: dict = {}
+        with _pilot_stage(out, "components_chain", cpus):
+            comp = dedup.connected_components(chain, stats=cc_stats)
+            out["components_chain_nodes"], _ = _run_and_count_big(comp)
+        out["components_chain_rounds"] = cc_stats.get("rounds")
+        out["peak_jvm_rss_gb"] = _jvm_peak_rss_gb()
+        if any(out.get(f"{s}_window", {}).get("contended") for s in stages):
+            log("sf10_dedup: a stage window was CONTENDED — result NOT "
+                "cached, next bench run re-measures live")
+        else:
+            os.makedirs("BENCH", exist_ok=True)
+            with open(cache, "w") as f:
+                json.dump(out, f)
+    except Exception as ex:  # noqa: BLE001 — pilot must never sink the bench
+        out["error"] = f"{type(ex).__name__}: {ex}"
+    finally:
+        stop_spark(spark)
+    return out
+
+
+def _append_history(fname: str, recs: list[dict], key: dict) -> None:
+    """Append measurement records (each tagged with its key + its own
+    contention window) to a BENCH/*.jsonl pool file."""
     os.makedirs("BENCH", exist_ok=True)
-    with open(os.path.join("BENCH", "pair_history.jsonl"), "a") as f:
+    with open(os.path.join("BENCH", fname), "a") as f:
         for r in recs:
             f.write(json.dumps({**key, **r}) + "\n")
 
 
-def _load_pair_history(key: dict, limit: int = 12) -> list[dict]:
-    """CLEAN scaling pairs from this and previous runs with the same
-    flagship source hash / scale / level shape. The one-sided-noise
-    minimum estimator is consistent — pooling clean windows across runs
-    strictly beats any single run's 3 pairs: on 2026-08-17 two
-    back-to-back 3/3-clean runs read 0.877 and 0.793 (sub-threshold
-    interference moved a whole run below target with every window
-    passing the gate), while the pooled 6-pair minimum ratio read 0.869.
-    Bounded to the last ``limit`` pairs so a machine-speed change ages
-    out; keyed on the source hash so a flagship code change resets the
-    pool."""
-    path = os.path.join("BENCH", "pair_history.jsonl")
+def _load_clean_history(fname: str, key: dict, limit: int = 12) -> list[dict]:
+    """CLEAN records from this and previous runs matching ``key``. The
+    one-sided-noise minimum estimator is consistent — pooling clean
+    windows across runs strictly beats any single run's samples: on
+    2026-08-17 two back-to-back 3/3-clean scaling runs read 0.877 and
+    0.793 (sub-threshold interference moved a whole run below target
+    with every window passing the gate), while the pooled 6-pair minimum
+    ratio read 0.869. Bounded to the last ``limit`` records so a
+    machine-speed change ages out; keyed on a source hash so a code
+    change resets the pool. VERDICT r6 #2/#3/#4 extend this protocol
+    from the scaling pairs to the per-query board, the full-box headline
+    and the sf1 pilot stages — same file format, different key shapes."""
+    path = os.path.join("BENCH", fname)
     if not os.path.exists(path):
         return []
     out = []
@@ -623,6 +911,14 @@ def _load_pair_history(key: dict, limit: int = 12) -> list[dict]:
         if rec.get("clean") and all(rec.get(k) == v for k, v in key.items()):
             out.append(rec)
     return out[-limit:]
+
+
+def _append_pair_history(recs: list[dict], key: dict) -> None:
+    _append_history("pair_history.jsonl", recs, key)
+
+
+def _load_pair_history(key: dict, limit: int = 12) -> list[dict]:
+    return _load_clean_history("pair_history.jsonl", key, limit)
 
 
 def measure_level(
@@ -737,26 +1033,49 @@ def main() -> None:
         eff = (h3 / h12) / 4.0
     else:
         eff = eff_run
-    # full-box headline: retry once if its window was contended
-    t_full, win_full = measure_level(cpus, sf_dir, n_pages, 2)
-    if win_full["contended"]:
-        t2, w2 = measure_level(cpus, sf_dir, n_pages, 2)
-        if not w2["contended"]:
-            t_full, win_full = t2, w2
-        else:
-            t_full, win_full = t_full + t2, w2
-    medfull = min(t_full)
+    # full-box headline (VERDICT r6 #3): retry until a CLEAN window
+    # exists (up to 2 extras), keep every attempt's times WITH its own
+    # window (ADVICE r6: the old retry could report the second window
+    # against the first attempt's minimum), prefer clean attempts, and
+    # pool attempt minima in pair_history.jsonl (kind=full) so the
+    # BASELINE.md headline row is a pooled clean minimum, never a
+    # contended one-off.
+    full_attempts: list[dict] = []
+    for _ in range(3):
+        t_a, w_a = measure_level(cpus, sf_dir, n_pages, 2)
+        full_attempts.append({
+            "t": round(min(t_a), 3),
+            "times": [round(x, 3) for x in t_a],
+            "win": w_a, "clean": not w_a["contended"],
+        })
+        if not w_a["contended"]:
+            break
+    clean_atts = [a for a in full_attempts if a["clean"]]
+    pick = min(clean_atts or full_attempts, key=lambda a: a["t"])
+    medfull_run, win_full = pick["t"], pick["win"]
+    full_key = {"kind": "full", "source_hash": hist_key["source_hash"],
+                "sf": hist_key["sf"], "pages": n_pages, "cores": cpus}
+    _append_history(
+        "pair_history.jsonl",
+        [{"t": a["t"], "win": a["win"], "clean": a["clean"]}
+         for a in full_attempts],
+        {**full_key, "at": time.strftime("%Y-%m-%d %H:%M:%S")},
+    )
+    full_hist = _load_clean_history("pair_history.jsonl", full_key)
+    medfull = min(r["t"] for r in full_hist) if full_hist else medfull_run
     thrfull = n_pages / medfull
+    thrfull_run = n_pages / medfull_run
     log(f"local[3]: {med8:.2f}s ({thr8:.0f} pages/s); local[12]: "
         f"{medbig:.2f}s ({thrbig:.0f} pages/s); efficiency={eff:.3f} "
         f"(pooled over {len(hist)} clean pairs; this run alone "
         f"{eff_run:.3f} from {len(t_small) if not contended_run else 0}/"
         f"{len(pair_records)} clean); local[{cpus}]: {medfull:.2f}s "
-        f"({thrfull:.0f} pages/s)")
+        f"({thrfull:.0f} pages/s, pooled over {len(full_hist)} clean "
+        f"attempts; this run {medfull_run:.2f}s)")
 
     spark = get_spark(app_name="bench-queries", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
-    queries, query_windows = timed_queries(spark, sf_dir, cpus)
+    queries_run, queries, query_windows = timed_queries(spark, sf_dir, cpus)
     floor = replay_floor(spark)
     log(f"  streaming replay floor: {floor}s")
     stages = flagship_stage_times(spark, sf_dir, prepare_pages(spark, n_pages))
@@ -764,9 +1083,13 @@ def main() -> None:
 
     result = {
         "metric": "pages_per_sec_pip_tiles",
+        # headline = pooled clean minimum (provenance in scaling.*);
+        # queries = pooled clean minima per query, queries_run = this
+        # run's minima (VERDICT r6 #2/#3)
         "value": round(thrfull, 1),
         "unit": "sec",
         "queries": queries,
+        "queries_run": queries_run,
         "query_windows": query_windows,
         "streaming_replay_floor_sec": floor,
         "flagship_stages": stages,
@@ -784,8 +1107,12 @@ def main() -> None:
             "history_pairs": len(hist),
             "cores_full": cpus,
             "sec_full": round(medfull, 3),
+            "sec_full_this_run": round(medfull_run, 3),
             "pages_per_sec_full": round(thrfull, 1),
+            "pages_per_sec_full_this_run": round(thrfull_run, 1),
             "window_full": win_full,
+            "full_history_attempts": len(full_hist),
+            "full_attempts": full_attempts,
             "clean_pairs": 0 if contended_run else len(t_small),
             "contended": contended_run,
             "pair_records": pair_records,
@@ -809,6 +1136,10 @@ def main() -> None:
         log(f"sf10: {result['sf10']}")
         with open("BENCH/last_run.json", "w") as f:
             json.dump(result, f)
+        result["sf10_dedup"] = sf10_dedup_pilot(sf_dir, cpus)
+        log(f"sf10_dedup: {result['sf10_dedup']}")
+        with open("BENCH/last_run.json", "w") as f:
+            json.dump(result, f)
     if contended_run:
         # guard: a fully-contended run must not overwrite the curated
         # evidence document — the numbers land in NOTES.md instead
@@ -818,8 +1149,11 @@ def main() -> None:
                 f"\n### Contended run ({time.strftime('%Y-%m-%d %H:%M:%S')}, "
                 "BASELINE.md left untouched)\n\n"
                 f"No clean scaling pair in {len(pair_records)} attempts; "
-                f"efficiency over contended pairs = {eff:.3f}. Pair windows: "
-                f"{json.dumps(pair_records)}\n"
+                f"efficiency this run over contended pairs = {eff_run:.3f}"
+                + (f"; pooled clean-history estimate = {eff:.3f} over "
+                   f"{len(hist)} prior clean pairs" if hist else
+                   "; no clean history at this source hash")
+                + f". Pair windows: {json.dumps(pair_records)}\n"
             )
         log("contended run — BENCH/BASELINE.md NOT overwritten; "
             "evidence appended to BENCH/NOTES.md")
@@ -839,6 +1173,11 @@ def main() -> None:
                 f"| N | 3 | {med8:.2f} | {thr8:.0f} |\n"
                 f"| 4N | 12 | {medbig:.2f} | {thrbig:.0f} |\n"
                 f"| full box | {cpus} | {medfull:.2f} | {thrfull:.0f} |\n\n"
+                f"Full-box row = pooled clean minimum over the last "
+                f"{len(full_hist)} clean full-box attempts at this source "
+                f"hash (VERDICT r6 #3 — this run: {medfull_run:.2f}s, "
+                f"window {win_full}); attempts this run: "
+                f"{[(a['t'], a['clean']) for a in full_attempts]}.\n\n"
                 "N/4N = 3/12 cores: memory-streaming work saturates this VM's "
                 "bandwidth before 32 threads (pure-python string workloads scale "
                 "8→32 procs at 0.46 here), and local mode shares one JVM + python "
@@ -881,15 +1220,25 @@ def main() -> None:
                 ])
                 + f"\n\nLevel minima over clean pairs: "
                 f"local[3]={[round(t,2) for t in t_small]}, "
-                f"local[12]={[round(t,2) for t in t_big]}, "
-                f"local[{cpus}]={[round(t,2) for t in t_full]} "
-                f"(full-box window: {win_full})\n\n"
+                f"local[12]={[round(t,2) for t in t_big]}; full-box "
+                f"attempts (sec, clean): "
+                f"{[(a['t'], a['clean']) for a in full_attempts]} "
+                f"(picked window: {win_full})\n\n"
                 "Flagship per-stage prefix timings (noop sink, seconds; each "
                 "row includes everything above it — scan+mine ⊂ cells ⊂ "
                 "pip/tiles):\n\n"
                 + "\n".join(f"- {k}: {v}" for k, v in stages.items())
-                + "\n\nPer-query timings (noop sink, seconds):\n\n"
-                + "\n".join(f"- {k}: {v}" for k, v in queries.items())
+                + "\n\nPer-query timings (noop sink, seconds): the record "
+                "value is the POOLED CLEAN MINIMUM over the last ≤12 clean "
+                "windows at the query's source hash "
+                "(BENCH/query_history.jsonl, VERDICT r6 #2); `this run` is "
+                "the best pass of this invocation, `pool` its clean-history "
+                "depth:\n\n"
+                + "\n".join(
+                    f"- {k}: {v} (this run {queries_run[k]}, pool "
+                    f"{query_windows[k].get('pool', 0)})"
+                    for k, v in queries.items()
+                )
                 + f"\n\nStreaming replay machinery floor (2-batch "
                 f"passthrough, zero data-path work): {floor} s — the "
                 "streaming_* rows read as this floor plus their data "
@@ -917,8 +1266,28 @@ def main() -> None:
                     "output rows are read from the very run that was timed. "
                     "Result cached in BENCH/SF10.json keyed on the hash of "
                     "the flagship's source files — reruns automatically "
-                    "when any of them change.\n"
+                    "when any of them change; a contended window is never "
+                    "cached.\n"
                     if "sf10" in result else ""
+                )
+                + (
+                    "\n## sf10 dedup probe (VERDICT r6 #5 — minhash at "
+                    "500k docs, components on a 1M-node chain)\n\n"
+                    + "\n".join(
+                        f"- {k}: {v}" for k, v in result["sf10_dedup"].items()
+                    )
+                    + "\n\n500k docs = 100 salted copies of the sf0.1 "
+                    "documents table; salts 0-9 are within-decade near-dups "
+                    "(the sf1 pair structure), salts 10-99 are vowel-mangled "
+                    "uniques — the corpus scales 10× over sf1 while the "
+                    "true-pair count stays ~constant, so the row measures "
+                    "the signature + banded-LSH-join stages' scaling, not a "
+                    "quadratic verify blow-up. components_chain is pointer "
+                    "jumping over a diameter-999 999 path — rounds must stay "
+                    "~log2(n). Cached in BENCH/SF10_DEDUP.json keyed on "
+                    "operators/dedup.py + the probe source; contended "
+                    "windows are never cached.\n"
+                    if "sf10_dedup" in result else ""
                 )
         )
     # curated analysis notes survive reruns: BASELINE.md is regenerated

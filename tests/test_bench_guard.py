@@ -57,3 +57,63 @@ def test_pair_history_pool_filter_and_bound(tmp_path, monkeypatch):
     assert len(bench._load_pair_history(key)) == 12
     # a different key (code change) starts an empty pool
     assert bench._load_pair_history({**key, "source_hash": "new"}) == []
+
+
+def test_full_and_pair_history_share_file_without_crosstalk(tmp_path, monkeypatch):
+    """Full-box attempts (kind=full) live in pair_history.jsonl next to
+    the 3/12 scaling pairs; each loader's key must exclude the other's
+    records."""
+    monkeypatch.chdir(tmp_path)
+    pair_key = {"source_hash": "abc", "sf": "sf0.1", "pages": 10,
+                "cores_small": 3, "cores_big": 12}
+    full_key = {"kind": "full", "source_hash": "abc", "sf": "sf0.1",
+                "pages": 10, "cores": 32}
+    bench._append_pair_history([{"t3": 1.0, "t12": 0.3, "clean": True}], pair_key)
+    bench._append_history("pair_history.jsonl", [{"t": 5.0, "clean": True}],
+                          full_key)
+    pairs = bench._load_pair_history(pair_key)
+    fulls = bench._load_clean_history("pair_history.jsonl", full_key)
+    assert len(pairs) == 1 and "t3" in pairs[0]
+    assert len(fulls) == 1 and fulls[0]["t"] == 5.0
+
+
+def test_query_history_pool_clean_minimum(tmp_path, monkeypatch):
+    """The board record is min over CLEAN windows only — a faster
+    contended pass must not become the record (one-sided noise can only
+    inflate, so a 'fast contended' reading would still be legitimate,
+    but the protocol keeps the record's provenance uniform)."""
+    monkeypatch.chdir(tmp_path)
+    key = {"q": "map_match", "src": "aaa", "sf": "sf0.1", "cores": 32}
+    bench._append_history("query_history.jsonl", [
+        {"sec": 5.2, "clean": True}, {"sec": 4.1, "clean": True},
+        {"sec": 3.0, "clean": False},
+    ], key)
+    hist = bench._load_clean_history("query_history.jsonl", key)
+    assert min(r["sec"] for r in hist) == 4.1
+    # a source-hash change starts a fresh pool
+    assert bench._load_clean_history("query_history.jsonl",
+                                     {**key, "src": "bbb"}) == []
+
+
+def test_board_queries_all_have_source_maps():
+    """Every board query needs a _QUERY_SRC entry (the pool key);
+    the mapped files must exist so the hash is real content."""
+    assert set(bench._BOARD_QUERIES) == set(bench._QUERY_SRC)
+    root = os.path.dirname(os.path.abspath(bench.__file__))
+    for files in bench._QUERY_SRC.values():
+        for rel in files:
+            assert os.path.exists(os.path.join(root, rel)), rel
+    for files in bench._SF1_STAGE_SRC.values():
+        for rel in files:
+            assert os.path.exists(os.path.join(root, rel)), rel
+
+
+def test_query_source_hash_stable_and_distinct():
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    h1 = bench._query_source_hash("map_match", qs["map_match"])
+    h2 = bench._query_source_hash("map_match", qs["map_match"])
+    h3 = bench._query_source_hash("cell_assign", qs["cell_assign"])
+    assert h1 == h2
+    assert h1 != h3
