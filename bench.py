@@ -787,12 +787,21 @@ def sf10_dedup_pilot(sf_dir: str, cpus: int) -> dict:
     1. ``minhash`` at 500k docs: 100 deterministically salted copies of
        the sf0.1 documents table. Salts 0-9 keep the sf1 rule (suffix-only
        change → within-decade near-dups, ~C(10,2)·n_docs verified pairs);
-       salts 10-99 additionally replace every vowel with a salt-unique
-       token, so those copies are near-dups of NOTHING — the corpus
+       salts 10-99 prepend (doc_id, salt)-seeded md5 noise of ~2× the
+       text length, so every cross similarity involving them is ≤ ~0.33
+       (diluted) — near-dups of NOTHING at the 0.5 threshold. The corpus
        scales 10× while the true-pair structure stays the sf1 shape,
        isolating how the signature + banded-join stages scale from a
-       quadratic blow-up of the verify output (real corpora do not carry
+       quadratic blow-up of the candidate set (real corpora do not carry
        100-member duplicate cliques as their dominant structure).
+       DESIGN NOTE (learned the hard way): the first probe shape mangled
+       vowels into a salt token instead, which COLLAPSED the shingle
+       diversity of the template-generated docs — same-salt pairwise
+       Jaccard rose from mean 0.185 to 0.326 (p90 0.40), and at band
+       width 4 that lifts the per-pair candidate probability from ~2% to
+       ~17-34%, i.e. ~hundreds of millions of bucket-join rows across 90
+       salts — the shuffle filled the disk. Additive noise DILUTES
+       similarity; in-place substitution can manufacture it.
     2. ``components_chain``: connected components on a 1M-node chain
        (diameter 999 999) — pointer jumping must close it in ~log2(n)
        rounds (sf1's 100k chain: 17 rounds).
@@ -832,6 +841,16 @@ def sf10_dedup_pilot(sf_dir: str, cpus: int) -> dict:
                       shuffle_partitions=2 * cpus)
     try:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # ~593 chars of (doc_id, salt)-seeded md5 tokens ≈ 2× the 297-char
+        # mean text: dilutes every cross similarity of a salt≥10 copy to
+        # ≤ ~1/3 (shared original shingles over a 3×-sized union)
+        noise = F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.lit(18)),
+            lambda k: F.md5(F.concat_ws(
+                "_", F.col("doc_id").cast("string"),
+                F.col("_salt").cast("string"), k.cast("string"),
+            )),
+        ))
         salted = docs.select(
             F.explode(F.sequence(F.lit(0), F.lit(99))).alias("_salt"),
             "doc_id", "text",
@@ -839,10 +858,7 @@ def sf10_dedup_pilot(sf_dir: str, cpus: int) -> dict:
             (F.col("doc_id") + F.col("_salt") * 1_000_000).alias("doc_id"),
             F.concat(
                 F.when(F.col("_salt") < 10, F.col("text")).otherwise(
-                    F.regexp_replace(
-                        F.col("text"), F.lit("[aeiou]"),
-                        F.concat(F.lit("~"), F.col("_salt").cast("string")),
-                    )
+                    F.concat(noise, F.lit(" "), F.col("text"))
                 ),
                 F.lit(" #"), F.col("_salt").cast("string"),
             ).alias("text"),
