@@ -117,3 +117,50 @@ def test_query_source_hash_stable_and_distinct():
     h3 = bench._query_source_hash("cell_assign", qs["cell_assign"])
     assert h1 == h2
     assert h1 != h3
+
+
+def test_pooled_record_clean_min_wins(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    key = {"q": "x", "src": "h1", "sf": "sf0.1", "cores": 32}
+    bench._append_history("query_history.jsonl", [
+        {"sec": 5.0, "clean": False}, {"sec": 4.0, "clean": True},
+        {"sec": 3.0, "clean": False},  # contended min must NOT win
+    ], key)
+    sec, kind, n = bench._pooled_record("query_history.jsonl", key)
+    assert (sec, kind, n) == (4.0, "clean-min", 1)
+
+
+def test_pooled_record_reproducible_min(tmp_path, monkeypatch):
+    # no clean window, but >=3 samples within 10% of the minimum:
+    # the workload-provoked-steal case (NOTES.md round 7)
+    monkeypatch.chdir(tmp_path)
+    key = {"kind": "sf10_dedup", "stage": "minhash", "cores": 32,
+           "src": "h2"}
+    bench._append_history("sf10_history.jsonl", [
+        {"sec": 339.8, "clean": False}, {"sec": 320.8, "clean": False},
+        {"sec": 328.4, "clean": False},
+    ], key)
+    sec, kind, n = bench._pooled_record("sf10_history.jsonl", key)
+    assert (sec, kind, n) == (320.8, "reproducible-min", 3)
+
+
+def test_pooled_record_refuses_scattered_contended(tmp_path, monkeypatch):
+    # 3 contended samples but only 2 near the min: bursty noise shape —
+    # no record (an outlier cannot be averaged into legitimacy)
+    monkeypatch.chdir(tmp_path)
+    key = {"q": "y", "src": "h3", "sf": "sf0.1", "cores": 32}
+    bench._append_history("query_history.jsonl", [
+        {"sec": 10.0, "clean": False}, {"sec": 10.5, "clean": False},
+        {"sec": 14.0, "clean": False},
+    ], key)
+    sec, kind, n = bench._pooled_record("query_history.jsonl", key)
+    assert (sec, kind, n) == (None, None, 0)
+
+
+def test_pooled_record_two_samples_insufficient(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    key = {"q": "z", "src": "h4", "sf": "sf0.1", "cores": 32}
+    bench._append_history("query_history.jsonl", [
+        {"sec": 10.0, "clean": False}, {"sec": 10.1, "clean": False},
+    ], key)
+    assert bench._pooled_record("query_history.jsonl", key) == (None, None, 0)
