@@ -1416,29 +1416,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every query's evidence must stay ≤ 1 round old, so the queries whose
     # latest green row is OLDEST come first. The registry is exactly 60
     # queries (consolidated 69→60 in r5, VERDICT r4 item 2).
-    # r7 order (VERDICT r6 #1): (a) the 10 queries whose latest row is
-    # r05 (the r06 cap cut them); (b) queries CHANGED this round —
-    # walks.py's auto mode now evaluates the edge list once (ADVICE r6),
-    # so cell_walks + walk_skipgrams re-prove themselves; (c) unchanged
-    # r06-green queries, the last 10 of which the cap cuts (their r06
-    # rows stay exactly one round old — the tail is the group that led
-    # the r6 registry, i.e. the most recently re-proven).
+    # r8 order (VERDICT r7 #1): (a) the 10 queries whose latest row is
+    # r06 (the r07 cap cut them); (b) queries CHANGED this round —
+    # walks.py's auto gate now branch-decides via a bounded count and
+    # its skipgram guard raises on duplicate (walk_id, pos) (VERDICT r7
+    # #1/#2), so cell_walks + walk_skipgrams re-prove themselves; (c)
+    # unchanged r07-green queries, the last 10 of which the cap cuts
+    # (their r07 rows stay exactly one round old — the tail is the
+    # group that led the r7 registry, i.e. the most recently re-proven).
     return {
-        # --- (a) latest row is r05 (rotated out by the r06 cap) ---
-        "pip_join": q_pip_join,
-        "knn": q_knn,
-        "tile_pyramid": q_tile_pyramid,
-        "sessionize": q_sessionize,
-        "traj_stats": q_traj_stats,
-        "segment_cut": q_segment_cut,
-        "segment_pairs": q_segment_pairs,
-        "similarity_edwp": q_similarity_edwp,
-        "cluster_segments": q_cluster_segments,
-        "cluster_merge": q_cluster_merge,
-        # --- (b) changed this round (operators/walks.py auto mode) ---
+        # --- (a) latest row is r06 (rotated out by the r07 cap) ---
+        "video_frames": q_video_frames,
+        "symmetrize_norm": q_symmetrize_norm,
+        "fed_split": q_fed_split,
+        "augment_time_shift": q_augment_time_shift,
+        "newsimi_raw": q_newsimi_raw,
+        "neighbour_pairs": q_neighbour_pairs,
+        "describe_stats": q_describe,
+        "events_running": q_events_running,
+        "top_customers": q_top_customers,
+        "pricing_summary": q_pricing_summary,
+        # --- (b) changed this round (operators/walks.py gate + guard) ---
         "cell_walks": q_cell_walks,
         "walk_skipgrams": q_walk_skipgrams,
-        # --- (c) unchanged, green in r06 ---
+        # --- (c) unchanged, green in r07 ---
         "pages_points": q_pages_points,
         "porto_clean": q_porto_clean,
         "porto_points": q_porto_points,
@@ -1477,18 +1478,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "vocab_topk": q_vocab_topk,
         "tfidf_topterms": q_tfidf_topterms,
-        # --- overflow tail (position > 50): all green in r06, unchanged —
+        # --- overflow tail (position > 50): all green in r07, unchanged —
         # a 50-row cap leaves their evidence exactly one round old
-        "video_frames": q_video_frames,
-        "symmetrize_norm": q_symmetrize_norm,
-        "fed_split": q_fed_split,
-        "augment_time_shift": q_augment_time_shift,
-        "newsimi_raw": q_newsimi_raw,
-        "neighbour_pairs": q_neighbour_pairs,
-        "describe_stats": q_describe,
-        "events_running": q_events_running,
-        "top_customers": q_top_customers,
-        "pricing_summary": q_pricing_summary,
+        "pip_join": q_pip_join,
+        "knn": q_knn,
+        "tile_pyramid": q_tile_pyramid,
+        "sessionize": q_sessionize,
+        "traj_stats": q_traj_stats,
+        "segment_cut": q_segment_cut,
+        "segment_pairs": q_segment_pairs,
+        "similarity_edwp": q_similarity_edwp,
+        "cluster_segments": q_cluster_segments,
+        "cluster_merge": q_cluster_merge,
     }
 
 

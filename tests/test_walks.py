@@ -189,9 +189,9 @@ def test_skipgram_window_ten_covers_reference_context(spark, pairs):
 
 
 def test_auto_walks_bit_identical_with_precollected_rows(spark, pairs):
-    """auto mode feeds its single bounded collect straight into the arrow
-    adjacency (ADVICE r6: the edge-list plan is evaluated exactly once) —
-    output stays bit-identical to both explicit impls."""
+    """auto mode feeds its single bounded Arrow collect straight into the
+    arrow adjacency (ADVICE r6 / VERDICT r7 #1) — output stays
+    bit-identical to both explicit impls."""
     starts = spark.createDataFrame([(7,), (42,), (99,)], "cell_id long")
     a = sorted(map(tuple, walks.node2vec_walks(pairs, starts, 8, 2).collect()))
     b = sorted(map(tuple, walks.node2vec_walks(
@@ -199,3 +199,42 @@ def test_auto_walks_bit_identical_with_precollected_rows(spark, pairs):
     c = sorted(map(tuple, walks.node2vec_walks(
         pairs, starts, 8, 2, impl="catalyst").collect()))
     assert a == b == c and len(a) == 3 * 2 * 8
+
+
+def test_auto_catalyst_branch_never_materializes_edges(spark, pairs, monkeypatch):
+    """VERDICT r7 #1: when auto mode's bounded probe says "too big for the
+    broadcast", the branch decision must be a scalar count — NO edge rows
+    may reach the driver (the old form collected max_broadcast_edges+1
+    Row objects precisely on the graphs too big to broadcast). Spy:
+    DataFrame.collect/toPandas raise for the duration of the auto call
+    with a bound of 0; the catalyst chain must still come back lazily."""
+    from pyspark.sql import DataFrame
+
+    starts = spark.createDataFrame([(42,)], "cell_id long")
+
+    def _boom(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError("driver materialization on the catalyst branch")
+
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    out = walks.node2vec_walks(pairs, starts, 6, 2, max_broadcast_edges=0)
+    monkeypatch.undo()
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, walks.node2vec_walks(
+        pairs, starts, 6, 2, impl="catalyst").collect()))
+    assert got == want and len(got) == 2 * 6
+
+
+def test_skipgram_pairs_raise_on_duplicate_positions(spark, pairs):
+    """VERDICT r7 #2: duplicate (walk_id, pos) input — e.g. a unioned
+    walk table that reused walk_ids — used to silently drop in-window
+    pairs; the precondition is now enforced in-operator with a loud
+    task error naming the offending walk_id."""
+    starts = spark.createDataFrame([(5,)], "cell_id long")
+    w = walks.node2vec_walks(pairs, starts, 6, 1)
+    bad = w.unionAll(w)  # every (walk_id, pos) now appears twice
+    with pytest.raises(Exception, match=r"duplicate \(walk_id, pos\)"):
+        walks.skipgram_pairs(bad, window=3).collect()
+    # and the clean table still works through the guarded projection —
+    # window 10 ≥ max Δpos 5, so all 6·5 ordered pairs qualify
+    assert walks.skipgram_pairs(w, window=10).count() == 6 * 5
