@@ -251,9 +251,57 @@ _QUERY_SRC: dict[str, list[str]] = {
 }
 
 
+def _entry_helper_sources(fn) -> bytes:
+    """Sources of the __spark_entry__ module-level functions reachable
+    from ``fn`` through its code object's global names, transitively
+    (ADVICE r7: shared helpers like _segment_pair_d/_replay_stream/
+    _points_cells were a pool-key blind spot — editing one changes what a
+    query executes without resetting that query's measurement pool, the
+    exact staleness the source hash exists to prevent). Deterministic:
+    helpers are concatenated in sorted-name order."""
+    import inspect
+    import types
+
+    mod = getattr(fn, "__module__", None)
+    module = sys.modules.get(mod) if mod else None
+    if module is None:
+        return b""
+
+    def code_names(code) -> set[str]:
+        names = set(code.co_names)
+        for c in code.co_consts:
+            if isinstance(c, types.CodeType):
+                names |= code_names(c)
+        return names
+
+    seen: dict[str, bytes] = {}
+    frontier = [fn]
+    while frontier:
+        f = frontier.pop()
+        code = getattr(f, "__code__", None)
+        if code is None:
+            continue
+        for n in sorted(code_names(code)):
+            if n in seen:
+                continue
+            g = getattr(module, n, None)
+            if (
+                isinstance(g, types.FunctionType)
+                and getattr(g, "__module__", None) == mod
+                and g is not fn
+            ):
+                try:
+                    seen[n] = inspect.getsource(g).encode()
+                except (OSError, TypeError):
+                    seen[n] = repr(g).encode()
+                frontier.append(g)
+    return b"".join(seen[n] for n in sorted(seen))
+
+
 def _query_source_hash(name: str, fn) -> str:
     """Pool key for one board query: sha256 over the query function's own
-    source (the __spark_entry__ wiring) + the operator/kernel modules it
+    source (the __spark_entry__ wiring) + every __spark_entry__ helper it
+    reaches (transitively — ADVICE r7) + the operator/kernel modules it
     executes (_QUERY_SRC) + the session/config/synth base every query
     shares."""
     import inspect
@@ -262,6 +310,7 @@ def _query_source_hash(name: str, fn) -> str:
         src = inspect.getsource(fn).encode()
     except (OSError, TypeError):
         src = repr(fn).encode()
+    src += _entry_helper_sources(fn)
     return _files_hash(_QUERY_SRC.get(name, []) + _QUERY_COMMON, extra=src)
 
 
@@ -279,64 +328,89 @@ _BOARD_QUERIES = [
 ]
 
 
+# queries that .persist() bounded intermediates internally: their board
+# row measures the warm-cache pass-2 (pass 1 populates the cache inside
+# the timer, the min discounts it — documented NOTES.md r7); each gets a
+# full-cost companion row `<name>_fullcost` measured with the cache
+# cleared before EVERY pass (VERDICT r7 #7: report both numbers, pooled
+# under distinct names so the two populations never mix)
+_FULLCOST_QUERIES = ("lm_score",)
+
+
+def _timed_query_passes(
+    spark, sf_dir: str, fn, cpus: int, clear_before: bool = False
+) -> tuple[float, dict, int, list[dict]]:
+    """(best_sec, best_window, passes, pool_records) for one board query:
+    min of 2 passes — pass 1 is pure warm-up (JIT / python-worker
+    startup inflates it one-sidedly) and enters NEITHER the pool NOR the
+    displayed best/window NOR the clean-seen retry logic (ADVICE r7:
+    letting it win best while being excluded from the pool could show a
+    clean window whose sample the pooled record never received — the two
+    populations must coincide). A contended measured pass triggers up to
+    2 extras so the min comes from a clean window whenever one exists
+    (r5's cell_walks +94% was exactly one noisy window landing on a
+    2-pass min). ``clear_before`` clears the Spark block cache before
+    every pass — the full-cost protocol for persist-using queries."""
+    best = None
+    best_win: dict = {}
+    clean_seen = False
+    passes = 0
+    pass_recs: list[dict] = []
+    while passes < 2 or (not clean_seen and passes < 4):
+        passes += 1
+        if clear_before:
+            spark.catalog.clearCache()
+        with _WindowMonitor(cpus) as mon:
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+        if passes == 1:
+            continue
+        if not mon.contended:
+            clean_seen = True
+        pass_recs.append({
+            "sec": round(dt, 3), "clean": not mon.contended,
+            "win": mon.stats,
+        })
+        # a clean-window pass always beats a contended one of any time
+        if best is None or (mon.contended, dt) < (best_win["contended"], best):
+            best, best_win = dt, mon.stats
+    return best, best_win, passes, pass_recs
+
+
 def timed_queries(
     spark, sf_dir: str, cpus: int
 ) -> tuple[dict[str, float], dict[str, float], dict]:
     import __spark_entry__ as E
 
-    names = _BOARD_QUERIES
     qs = E.queries()
     sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     out = {}
     pooled: dict[str, float] = {}
     windows: dict[str, dict] = {}
-    for name in names:
-        # min of 2 passes (pass 1 also absorbs python-worker/JIT warmup);
-        # each pass carries its own contention window, and a pass whose
-        # window was contended triggers up to 2 extra passes so the min
-        # comes from a clean window whenever one exists (r5's cell_walks
-        # +94% was exactly one noisy window landing on a 2-pass min)
-        best = None
-        best_win: dict = {}
-        clean_seen = False
-        passes = 0
-        pass_recs: list[dict] = []
-        while passes < 2 or (not clean_seen and passes < 4):
-            passes += 1
-            with _WindowMonitor(cpus) as mon:
-                t0 = time.time()
-                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-            if not mon.contended:
-                clean_seen = True
-            # warm-up pass 1 is recorded but never pooled: its JIT /
-            # python-worker startup inflates the time one-sidedly, which
-            # the min discounts anyway — excluding it just keeps the pool
-            # from wasting its bounded window on known-slow samples
-            if passes > 1:
-                pass_recs.append({
-                    "sec": round(dt, 3), "clean": not mon.contended,
-                    "win": mon.stats,
-                })
-            # a clean-window pass always beats a contended one of any time
-            if best is None or (mon.contended, dt) < (best_win["contended"], best):
-                best, best_win = dt, mon.stats
-        out[name] = round(best, 3)
+    plan = [(name, name, False) for name in _BOARD_QUERIES] + [
+        (f"{name}_fullcost", name, True) for name in _FULLCOST_QUERIES
+    ]
+    for row_name, name, clear_before in plan:
+        best, best_win, passes, pass_recs = _timed_query_passes(
+            spark, sf_dir, qs[name], cpus, clear_before=clear_before
+        )
+        out[row_name] = round(best, 3)
         # pooled clean minimum across runs (VERDICT r6 #2/#3): the board
         # record is min over the last 12 clean windows at this query's
         # source hash — this run's clean passes included — so one noisy
         # round can never move the record sheet; this run's own number
         # stays in `queries_run` for round-over-round visibility.
-        key = {"q": name, "src": _query_source_hash(name, qs[name]),
+        key = {"q": row_name, "src": _query_source_hash(name, qs[name]),
                "sf": sf_name, "cores": cpus}
         _append_history("query_history.jsonl", pass_recs,
                         {**key, "at": time.strftime("%Y-%m-%d %H:%M:%S")})
         psec, pkind, pn = _pooled_record("query_history.jsonl", key)
-        pooled[name] = psec if psec is not None else out[name]
-        windows[name] = {**best_win, "passes": passes, "pool": pn,
-                         "pool_kind": pkind or "this-run"}
-        log(f"  q {name}: {out[name]}s (pooled {pooled[name]}s over "
-            f"{pn}, {pkind or 'this-run'}) {best_win}")
+        pooled[row_name] = psec if psec is not None else out[row_name]
+        windows[row_name] = {**best_win, "passes": passes, "pool": pn,
+                             "pool_kind": pkind or "this-run"}
+        log(f"  q {row_name}: {out[row_name]}s (pooled {pooled[row_name]}s "
+            f"over {pn}, {pkind or 'this-run'}) {best_win}")
         # operators persist bounded intermediates (signature/banded/anchor
         # tables) whose blocks would otherwise accumulate across the 32×2
         # timed runs and skew later queries (ADVICE r2)
@@ -867,10 +941,18 @@ def sf10_dedup_pilot(sf_dir: str, cpus: int) -> dict:
             cached and cached.get("source_hash") == key
             and "error" not in cached
             and all(f"{s}_sec_pooled" in cached for s in stages)
+            and all(_pool_mature(cached, s) for s in stages)
         ):
             log("sf10_dedup: reusing BENCH/SF10_DEDUP.json (source hash "
                 "unchanged)")
             return cached
+    if sf_dir.rstrip("/").rsplit("/", 1)[-1] != "sf0.1":
+        # the probe corpora are DEFINED as replications of the sf0.1
+        # tables and the pool keys carry no scale field — running at
+        # another sf would pollute the sf10 pools with wrong-scale
+        # samples (latent hazard found in round 8)
+        return {"skipped": "sf10 probes are defined over sf0.1, got "
+                + sf_dir}
     out: dict = {"source_hash": key, "minhash_docs": 500_000,
                  "measured_at": time.strftime("%Y-%m-%d %H:%M:%S")}
     log("sf10_dedup pilot: 500k-doc minhash + 1M-node chain components")
@@ -938,16 +1020,18 @@ _SF10_MAPMATCH_FILES = [
 ]
 
 
-def _sf10_rep_points(spark, sf_dir: str):
-    """The probe input: 10M points = 100 deterministically shifted copies
-    of the sf0.1 synthetic point set. Shifts cycle a 10×10 offset lattice
-    (≤ ~1.9 km each way — the sf1 pilot's shift scale), so every copy
-    stays inside the synthetic road grid's coverage and its Viterbi pass
-    does full-size candidate work; traj_id offsets keep the copies
-    distinct trajectories."""
+def _sf10_rep_points(spark, sf_dir: str, copies: int = 100):
+    """The probe input: ``copies`` (default 100 → 10M points)
+    deterministically shifted copies of the sf0.1 synthetic point set.
+    Shifts cycle a 10×10 offset lattice (≤ ~1.9 km each way — the sf1
+    pilot's shift scale), so every copy stays inside the synthetic road
+    grid's coverage and its Viterbi pass does full-size candidate work;
+    traj_id offsets keep the copies distinct trajectories. The ``copies``
+    knob lets the topk probe compare candidate counts across densities
+    and the corpus-structure pytest run the same shape in seconds."""
     pts = synth.synthetic_points(spark, sf_dir)
     return pts.select(
-        F.explode(F.sequence(F.lit(0), F.lit(99))).alias("_r"),
+        F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("_r"),
         "traj_id", "ts_ms", "point_id", "x", "y",
     ).select(
         (F.col("traj_id") + F.col("_r") * 100_000).alias("traj_id"),
@@ -985,10 +1069,18 @@ def sf10_mapmatch_pilot(sf_dir: str, cpus: int) -> dict:
             cached and cached.get("source_hash") == key
             and "error" not in cached
             and "map_match_sec_pooled" in cached
+            and _pool_mature(cached, "map_match")
         ):
             log("sf10_mapmatch: reusing BENCH/SF10_MAPMATCH.json (source "
                 "hash unchanged)")
             return cached
+    if sf_dir.rstrip("/").rsplit("/", 1)[-1] != "sf0.1":
+        # the probe corpora are DEFINED as replications of the sf0.1
+        # tables and the pool keys carry no scale field — running at
+        # another sf would pollute the sf10 pools with wrong-scale
+        # samples (latent hazard found in round 8)
+        return {"skipped": "sf10 probes are defined over sf0.1, got "
+                + sf_dir}
     out: dict = {"source_hash": key, "points": 10_000_000,
                  "measured_at": time.strftime("%Y-%m-%d %H:%M:%S")}
     log("sf10_mapmatch pilot: 10M-point HMM map matching")
@@ -1029,6 +1121,214 @@ def sf10_mapmatch_pilot(sf_dir: str, cpus: int) -> dict:
                 json.dump(out, f)
         else:
             log("sf10_mapmatch: no clean window and no reproducibility "
+                "attribution yet — result NOT cached, next bench run "
+                "re-measures live")
+    except Exception as ex:  # noqa: BLE001 — pilot must never sink the bench
+        out["error"] = f"{type(ex).__name__}: {ex}"
+    finally:
+        stop_spark(spark)
+    return out
+
+
+_SF10_TOPK_FILES = [
+    "trajlib_spark/operators/similarity.py",
+    "trajlib_spark/kernels/dp_distances.py",
+    "trajlib_spark/operators/cells.py",
+]
+
+
+def _sf10_topk_inputs(spark, sf_dir: str, copies: int = 100):
+    """(polys, queries) for the similarity probe: ``copies`` lattice-
+    shifted copies of a COMPACT-trajectory corpus plus a FIXED query
+    panel from copy 0 only (base traj_id % 53 == 0, ~29 queries at
+    sf0.1).
+
+    Corpus design: the raw synthetic trajectories are whole-extent
+    (MBR radii ~11-13 km on a 20×16 km grid — measured), so on them the
+    grid-pruned path legitimately degrades to its single full equi-join
+    round (the regime the sf1 stage already evidences). The PRUNING
+    scaling claim needs the corpus shape pruning exists for: compact,
+    spatially distributed trajectories. Each base trajectory is shrunk
+    50× about its MBR center (radius → ~250 m), re-centred at a per-base
+    deterministic hash position ≥2.1 km inside the grid edge (so every
+    lattice copy stays in-grid), then copied across the 10×10 ±1.9 km
+    offset lattice with distinct traj_ids. The panel does not grow with
+    ``copies``, so candidate pairs must grow with ring occupancy ×
+    density (linear in copies), never queries × N."""
+    from trajlib_spark.operators import similarity as sim
+
+    base = sim.collect_polylines(synth.synthetic_points(spark, sf_dir))
+    s = F.lit(0.02)
+    ux = (F.col("traj_id") * F.lit(2654435761) % F.lit(1000003)).cast(
+        "double"
+    ) / F.lit(1000003.0)
+    uy = ((F.col("traj_id") * F.lit(98765431) + F.lit(12345)) % F.lit(999983)).cast(
+        "double"
+    ) / F.lit(999983.0)
+    m = 2100.0  # lattice extent (1.9 km) + compact radius + slack
+    compact = base.withColumns({
+        "_ax": (F.array_min("xs") + F.array_max("xs")) / 2,
+        "_ay": (F.array_min("ys") + F.array_max("ys")) / 2,
+        "_cx": F.lit(G.x_min + m) + ux * F.lit((G.x_max - m) - (G.x_min + m)),
+        "_cy": F.lit(G.y_min + m) + uy * F.lit((G.y_max - m) - (G.y_min + m)),
+    }).select(
+        "traj_id",
+        F.transform(
+            "xs", lambda v: F.col("_cx") + (v - F.col("_ax")) * s
+        ).alias("xs"),
+        F.transform(
+            "ys", lambda v: F.col("_cy") + (v - F.col("_ay")) * s
+        ).alias("ys"),
+    )
+    polys = compact.select(
+        F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("_r"),
+        "traj_id", "xs", "ys",
+    ).select(
+        (F.col("traj_id") + F.col("_r") * 100_000).alias("traj_id"),
+        F.transform(
+            "xs", lambda v: v + (F.col("_r") % 10) * F.lit(211.0)
+        ).alias("xs"),
+        F.transform(
+            "ys", lambda v: v - F.floor(F.col("_r") / 10) * F.lit(173.0)
+        ).alias("ys"),
+    )
+    qs = polys.where(
+        (F.col("traj_id") < 100_000) & (F.col("traj_id") % 53 == 0)
+    )
+    return polys, qs
+
+
+def _ring_candidates(polys, qs, ring: int) -> int:
+    """First-round candidate-pair count of measure_topk's grid-pruned
+    path — the anchor-cell k-ring equi-join (operators/similarity.py,
+    measure_topk's `fan`/`pairs` round-1 plan), built from the operator's
+    own anchor helpers. Untimed probe metadata: the number the linear-
+    scaling claim is made on (a quadratic candidate blow-up would show
+    here long before it showed in wall time)."""
+    from trajlib_spark.operators import similarity as sim
+
+    db_a = sim._traj_anchor(polys.select("traj_id", "xs", "ys"), "j", G)
+    q_a = sim._traj_anchor(qs.select("traj_id", "xs", "ys"), "i", G)
+    db_cells = db_a.select(
+        "j", sim.cell_id_expr("a_ix", "a_iy", G).alias("cell_id")
+    )
+    seq = F.sequence(F.lit(-ring), F.lit(ring))
+    fan = (
+        q_a.select("i", "a_ix", "a_iy")
+        .withColumn("dx", F.explode(seq))
+        .withColumn("dy", F.explode(seq))
+        .withColumn("c_ix", F.col("a_ix") + F.col("dx"))
+        .withColumn("c_iy", F.col("a_iy") + F.col("dy"))
+        .where(
+            (F.col("c_ix") >= 0) & (F.col("c_ix") < F.lit(G.x_size))
+            & (F.col("c_iy") >= 0) & (F.col("c_iy") < F.lit(G.y_size))
+        )
+        .select("i", sim.cell_id_expr("c_ix", "c_iy", G).alias("cell_id"))
+    )
+    return (
+        fan.join(db_cells, "cell_id").where(F.col("i") != F.col("j")).count()
+    )
+
+
+def sf10_topk_pilot(sf_dir: str, cpus: int) -> dict:
+    """Fourth 100×-scale probe (VERDICT r7 #4): the similarity/top-k
+    family — the last 100 TB-critical path whose evidence stopped at sf1
+    (15k trajs / 79.8 s) — at 150k trajectories: exact grid-pruned
+    Hausdorff top-5 over 100 shifted copies of the sf0.1 trajectory set,
+    fixed ~29-query panel. Alongside the timed window / skew / RSS it
+    records the ring-8 first-round candidate count at BOTH 100 and 50
+    copies: the candidate set must scale with ring area × density
+    (ratio ≈ 2), never N² (ratio ≈ 4) — the grid-pruning bound measured
+    directly, in the spirit of the dedup probe's linear-pair-count
+    evidence. Same record discipline: pools into sf10_history.jsonl,
+    cached in BENCH/SF10_TOPK.json only with a mature pooled record."""
+    import inspect
+
+    from trajlib_spark.operators import similarity as sim
+
+    cache = os.path.join("BENCH", "SF10_TOPK.json")
+    key = _files_hash(
+        _SF10_TOPK_FILES,
+        extra=(
+            inspect.getsource(_sf10_topk_inputs).encode()
+            + inspect.getsource(_sf10_rep_points).encode()
+        ),
+    )
+    if os.environ.get("SPARK_GRAFT_SF10", "") != "live" and os.path.exists(cache):
+        try:
+            cached = json.load(open(cache))
+        except (OSError, ValueError):
+            cached = None
+        if (
+            cached and cached.get("source_hash") == key
+            and "error" not in cached
+            and "topk_sec_pooled" in cached
+            and _pool_mature(cached, "topk")
+        ):
+            log("sf10_topk: reusing BENCH/SF10_TOPK.json (source hash "
+                "unchanged)")
+            return cached
+    if sf_dir.rstrip("/").rsplit("/", 1)[-1] != "sf0.1":
+        # the probe corpora are DEFINED as replications of the sf0.1
+        # tables and the pool keys carry no scale field — running at
+        # another sf would pollute the sf10 pools with wrong-scale
+        # samples (latent hazard found in round 8)
+        return {"skipped": "sf10 probes are defined over sf0.1, got "
+                + sf_dir}
+    out: dict = {"source_hash": key,
+                 "measured_at": time.strftime("%Y-%m-%d %H:%M:%S")}
+    log("sf10_topk pilot: 150k-trajectory grid-pruned Hausdorff top-5")
+    spark = get_spark(app_name="bench-sf10-topk", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    try:
+        polys, qs = _sf10_topk_inputs(spark, sf_dir, 100)
+        polys = polys.persist()
+        out["topk_trajs"] = polys.count()  # untimed: materializes the cache
+        out["topk_queries"] = qs.count()
+        with _pilot_stage(out, "topk", cpus):
+            topk = sim.measure_topk(polys, qs, "hausdorff", k=5, grid=G,
+                                    ring=8)
+            out["topk_rows"], out["topk_skew_splits"] = _run_and_count_big(topk)
+        # untimed scaling evidence: ring-8 round-1 candidates at 100 vs 50
+        # copies with the SAME query panel — linear density scaling reads
+        # as a ratio near 2.0
+        out["ring8_candidates_100"] = _ring_candidates(polys, qs, 8)
+        polys.unpersist()
+        spark.catalog.clearCache()
+        polys50, qs50 = _sf10_topk_inputs(spark, sf_dir, 50)
+        out["ring8_candidates_50"] = _ring_candidates(polys50, qs50, 8)
+        out["candidate_scaling_ratio"] = round(
+            out["ring8_candidates_100"] / max(1, out["ring8_candidates_50"]), 3
+        )
+        # pruning-effectiveness: candidates as a fraction of all-pairs
+        # (queries × (N−1)); an all-pairs degeneration reads 1.0
+        out["candidate_fraction_100"] = round(
+            out["ring8_candidates_100"]
+            / max(1, out["topk_queries"] * (out["topk_trajs"] - 1)),
+            5,
+        )
+        out["peak_jvm_rss_gb"] = _jvm_peak_rss_gb()
+        skey = {"kind": "sf10_topk", "stage": "topk", "cores": cpus,
+                "src": key}
+        win = out.get("topk_window")
+        if out.get("topk_sec") is not None and win is not None:
+            _append_history(
+                "sf10_history.jsonl",
+                [{"sec": out["topk_sec"],
+                  "clean": not win.get("contended", True), "win": win}],
+                {**skey, "at": time.strftime("%Y-%m-%d %H:%M:%S")},
+            )
+            psec, pkind, pn = _pooled_record("sf10_history.jsonl", skey)
+            if psec is not None:
+                out["topk_sec_pooled"] = psec
+                out["topk_pool"] = pn
+                out["topk_pool_kind"] = pkind
+        if "topk_sec_pooled" in out:
+            os.makedirs("BENCH", exist_ok=True)
+            with open(cache, "w") as f:
+                json.dump(out, f)
+        else:
+            log("sf10_topk: no clean window and no reproducibility "
                 "attribution yet — result NOT cached, next bench run "
                 "re-measures live")
     except Exception as ex:  # noqa: BLE001 — pilot must never sink the bench
@@ -1091,9 +1391,12 @@ def _load_history(fname: str, key: dict, limit: int = 12) -> list[dict]:
 
 
 def _pooled_record(
-    fname: str, key: dict, tol: float = 0.10, min_agree: int = 3
+    fname: str, key: dict, tol: float = 0.10, min_agree: int = 3,
+    field: str = "sec",
 ) -> tuple[float | None, str | None, int]:
     """Pooled record for a measurement series → (sec, kind, pool_size).
+    ``field`` names the record's value key — the full-box series stores
+    ``t`` (its historical shape); records lacking the field are skipped.
 
     ``clean-min``: minimum over clean-window samples, when any exist —
     the standard estimator (one-sided noise only inflates).
@@ -1113,16 +1416,30 @@ def _pooled_record(
     it can pass — clean-min always wins when a clean sample exists.
 
     Returns (None, None, 0) when neither rule fires."""
-    clean = _load_clean_history(fname, key)
+    clean = [r for r in _load_clean_history(fname, key) if field in r]
     if clean:
-        return min(r["sec"] for r in clean), "clean-min", len(clean)
-    allh = _load_history(fname, key)
+        return min(r[field] for r in clean), "clean-min", len(clean)
+    allh = [r for r in _load_history(fname, key) if field in r]
     if len(allh) >= min_agree:
-        lo = min(r["sec"] for r in allh)
-        near = [r for r in allh if r["sec"] <= lo * (1.0 + tol)]
+        lo = min(r[field] for r in allh)
+        near = [r for r in allh if r[field] <= lo * (1.0 + tol)]
         if len(near) >= min_agree:
             return lo, "reproducible-min", len(allh)
     return None, None, 0
+
+
+def _pool_mature(cached: dict, stage: str, min_samples: int = 6) -> bool:
+    """Whether a cached sf10 stage record is mature enough to SKIP the
+    live re-measure (ADVICE r7): a ``clean-min`` record is authoritative
+    at any pool size, but a ``reproducible-min`` record — 3+ steal-flagged
+    samples agreeing within 10% — is provisional until its pool reaches
+    ``min_samples``: a persistent ~10% interference pattern on this VM
+    must not become the durable record without repeated chances for a
+    clean window to show up and take over (clean-min always wins inside
+    _pooled_record once one exists)."""
+    if cached.get(f"{stage}_pool_kind") == "clean-min":
+        return True
+    return (cached.get(f"{stage}_pool") or 0) >= min_samples
 
 
 def _append_pair_history(recs: list[dict], key: dict) -> None:
@@ -1356,6 +1673,10 @@ def main() -> None:
         log(f"sf10_mapmatch: {result['sf10_mapmatch']}")
         with open("BENCH/last_run.json", "w") as f:
             json.dump(result, f)
+        result["sf10_topk"] = sf10_topk_pilot(sf_dir, cpus)
+        log(f"sf10_topk: {result['sf10_topk']}")
+        with open("BENCH/last_run.json", "w") as f:
+            json.dump(result, f)
     if contended_run:
         # guard: a fully-contended run must not overwrite the curated
         # evidence document — the numbers land in NOTES.md instead
@@ -1452,7 +1773,11 @@ def main() -> None:
                 "depth. A row marked `reproducible-min` had no clean window "
                 "yet ≥3 samples within 10% of the pooled minimum — "
                 "steal-flagged-but-reproducible (workload-provoked steal, "
-                "NOTES.md round 7):\n\n"
+                "NOTES.md round 7). A `<name>_fullcost` row is the "
+                "cold-path companion of a persist-using query (cache "
+                "cleared before every pass — VERDICT r7 #7): its plain "
+                "row measures the warm-cache pass-2, both numbers are on "
+                "record, pooled separately:\n\n"
                 + "\n".join(
                     f"- {k}: {v} (this run {queries_run[k]}, pool "
                     f"{query_windows[k].get('pool', 0)}"
@@ -1534,6 +1859,35 @@ def main() -> None:
                     "Cached in BENCH/SF10_MAPMATCH.json under the same "
                     "record discipline as the dedup probe.\n"
                     if "sf10_mapmatch" in result else ""
+                )
+                + (
+                    "\n## sf10 similarity/top-k probe (150k trajectories "
+                    "— the fourth 100 TB-critical path, VERDICT r7 #4)\n\n"
+                    + "\n".join(
+                        f"- {k}: {v}"
+                        for k, v in result["sf10_topk"].items()
+                    )
+                    + "\n\n150k trajectories = 100 lattice-shifted copies "
+                    "of a COMPACT-trajectory corpus (each whole-extent "
+                    "synthetic trajectory shrunk 50× about its MBR "
+                    "center — raw radii are 11-13 km on a 20×16 km grid, "
+                    "a shape where the pruned path legitimately degrades "
+                    "to one full equi-join round, which the sf1 stage "
+                    "already evidences — then re-centred at a per-base "
+                    "hash position ≥2.1 km inside the grid edge). Exact "
+                    "grid-pruned Hausdorff top-5, fixed ~29-query panel. "
+                    "ring8_candidates_100 vs _50 is the pruning-scaling "
+                    "criterion measured directly: halving corpus density "
+                    "at identical extent must ~halve the ring-8 "
+                    "candidate count (ratio ≈ 2 = linear in density; a "
+                    "quadratic candidate set reads ≈ 4), and "
+                    "candidate_fraction_100 — candidates over all-pairs "
+                    "queries×(N−1) — must stay ≪ 1 (an all-pairs "
+                    "degeneration reads 1.0). Corpus structure pinned by "
+                    "tests/test_sf10_topk_corpus.py; cached in "
+                    "BENCH/SF10_TOPK.json under the same record "
+                    "discipline as the other probes.\n"
+                    if "sf10_topk" in result else ""
                 )
         )
     # curated analysis notes survive reruns: BASELINE.md is regenerated

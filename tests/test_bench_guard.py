@@ -164,3 +164,54 @@ def test_pooled_record_two_samples_insufficient(tmp_path, monkeypatch):
         {"sec": 10.0, "clean": False}, {"sec": 10.1, "clean": False},
     ], key)
     assert bench._pooled_record("query_history.jsonl", key) == (None, None, 0)
+
+
+def test_query_source_hash_covers_entry_helpers():
+    """ADVICE r7: a query's pool key must cover the __spark_entry__
+    module-level helpers it calls (transitively), not just its own
+    source — otherwise editing a shared helper leaves stale pools."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    # streaming_sessions reaches the shared _replay_stream helper
+    src = bench._entry_helper_sources(qs["streaming_sessions"])
+    assert b"def _replay_stream" in src
+    # deterministic across calls
+    assert src == bench._entry_helper_sources(qs["streaming_sessions"])
+    # and the full pool key folds the helper sources in: two queries
+    # sharing operator files but different helpers hash differently
+    h = bench._query_source_hash("streaming_dedup", qs["streaming_dedup"])
+    assert h == bench._query_source_hash("streaming_dedup", qs["streaming_dedup"])
+
+
+def test_entry_helper_sources_transitive(tmp_path):
+    """Reachability is transitive: q -> h1 -> h2 all contribute source."""
+    mod_path = tmp_path / "fake_entry_helpers.py"
+    mod_path.write_text(
+        "def h2():\n    return 'LEAF_MARKER'\n\n"
+        "def h1():\n    return h2()\n\n"
+        "def q():\n    return h1()\n"
+    )
+    sys.path.insert(0, str(tmp_path))
+    try:
+        import importlib
+        m = importlib.import_module("fake_entry_helpers")
+        src = bench._entry_helper_sources(m.q)
+        assert b"LEAF_MARKER" in src  # h2 reached through h1
+        assert b"def h1" in src
+    finally:
+        sys.path.remove(str(tmp_path))
+        sys.modules.pop("fake_entry_helpers", None)
+
+
+def test_pool_mature_gates_provisional_caches():
+    """ADVICE r7: a reproducible-min-backed sf10 cache is provisional —
+    reused only once its pool is deep (>=6); clean-min is authoritative
+    at any pool size."""
+    assert bench._pool_mature(
+        {"minhash_pool_kind": "clean-min", "minhash_pool": 1}, "minhash")
+    assert not bench._pool_mature(
+        {"minhash_pool_kind": "reproducible-min", "minhash_pool": 3}, "minhash")
+    assert bench._pool_mature(
+        {"minhash_pool_kind": "reproducible-min", "minhash_pool": 6}, "minhash")
+    assert not bench._pool_mature({}, "minhash")
