@@ -215,3 +215,46 @@ def test_pool_mature_gates_provisional_caches():
     assert bench._pool_mature(
         {"minhash_pool_kind": "reproducible-min", "minhash_pool": 6}, "minhash")
     assert not bench._pool_mature({}, "minhash")
+
+
+def test_pair_efficiency_median_resists_single_era_collapse():
+    """VERDICT-r8 estimator change: one warm-era pair that is fastest at
+    BOTH levels must not drag the pooled headline to its own ratio. The
+    min-ratio estimator collapses onto that pair; the pair-median moves
+    only marginally."""
+    pool = [
+        {"t3": 62.0, "t12": 17.2},   # eff 0.901
+        {"t3": 65.0, "t12": 18.1},   # eff 0.898
+        {"t3": 59.0, "t12": 16.9},   # eff 0.873
+        {"t3": 48.6, "t12": 15.25},  # warm era: fastest t3 AND t12, eff 0.797
+        {"t3": 64.0, "t12": 17.9},   # eff 0.894
+    ]
+    est = bench._pair_efficiency_estimates(pool)
+    assert est["n"] == 5
+    assert abs(est["minmin"] - (48.6 / 15.25) / 4.0) < 1e-9  # collapsed
+    assert est["median"] > 0.85                              # robust
+    assert est["pair_effs"] == sorted(est["pair_effs"])
+
+
+def test_pair_efficiency_median_resists_cross_era_inflation():
+    """The collapse can also err HIGH: min t3 from a slow-t12 pair and
+    min t12 from another era pair up into a ratio no pair measured. The
+    median cannot exceed every per-pair reading; the change is
+    anti-cherry-picking in both directions."""
+    pool = [
+        {"t3": 50.0, "t12": 16.0},   # fast t3, eff 0.781
+        {"t3": 60.0, "t12": 14.0},   # fast t12, eff 1.071
+        {"t3": 58.0, "t12": 16.5},   # eff 0.879
+    ]
+    est = bench._pair_efficiency_estimates(pool)
+    inflated = (50.0 / 14.0) / 4.0   # 0.893, measured by NO pair
+    assert abs(est["minmin"] - inflated) < 1e-9
+    assert abs(est["median"] - 0.879) < 1e-3
+
+
+def test_pair_efficiency_estimates_empty_and_even():
+    assert bench._pair_efficiency_estimates([])["median"] is None
+    est = bench._pair_efficiency_estimates(
+        [{"t3": 64.0, "t12": 16.0}, {"t3": 68.0, "t12": 17.0}]
+    )
+    assert abs(est["median"] - ((1.0 + 1.0) / 2.0)) < 1e-9
