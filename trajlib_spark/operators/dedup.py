@@ -178,31 +178,59 @@ def ngram_jaccard_verify(
     with jaccard >= threshold."""
     left = docs.select(F.col(id_col).alias("i"), F.col(text).alias("t_i"))
     right = docs.select(F.col(id_col).alias("j"), F.col(text).alias("t_j"))
-    joined = candidates.join(left, "i").join(right, "j")
     # the python kernel's cost is per PAIR, not per byte: AQE would coalesce
     # this small-byte shuffle to 1-2 partitions and serialize the kernel —
-    # spread the pairs across the cluster explicitly
-    joined = joined.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, "i", "j"
+    # spread the pairs across the cluster explicitly. Round 9: repartition
+    # the SLIM (i, j) table and attach the texts afterwards — the old plan
+    # repartitioned after the joins and shuffled every candidate pair with
+    # both documents aboard (at sf1.0: ~7 GB moved to place a 180 MB
+    # decision; guide §2.3 "project before the exchange").
+    joined = (
+        candidates.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "i", "j"
+        )
+        .join(left, "i")
+        .join(right, "j")
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one shingle cache per TASK (docs repeat across the task's batches,
+        # not just within one batch)
+        cache: dict[int, np.ndarray] = {}
+
+        def sh(key: int, t: str | None) -> np.ndarray:
+            if key not in cache:
+                cache[key] = _stable_shingles(t or "", shingle_k)
+            return cache[key]
+
         for pdf in batches:
-            jac = np.empty(len(pdf))
-            cache: dict[int, np.ndarray] = {}  # docs repeat across pairs
-
-            def sh(key: int, t: str | None) -> np.ndarray:
-                if key not in cache:
-                    cache[key] = _stable_shingles(t or "", shingle_k)
-                return cache[key]
-
-            for r in range(len(pdf)):
-                sa = sh(pdf["i"].iat[r], pdf["t_i"].iat[r])
-                sb = sh(pdf["j"].iat[r], pdf["t_j"].iat[r])
-                inter = np.intersect1d(sa, sb, assume_unique=True).size
-                union = sa.size + sb.size - inter
-                jac[r] = inter / union if union else 1.0
-            yield pd.DataFrame({"i": pdf["i"], "j": pdf["j"], "jaccard": jac})
+            if not len(pdf):
+                continue
+            ii = pdf["i"].to_numpy()
+            jj = pdf["j"].to_numpy()
+            ti = pdf["t_i"].to_numpy()
+            tj = pdf["t_j"].to_numpy()
+            # group the batch's pairs by i: one vectorized searchsorted
+            # membership pass per left doc instead of a per-pair
+            # intersect1d sort (the counts are integer-exact either way)
+            order = np.argsort(ii, kind="stable")
+            ii, jj, ti, tj = ii[order], jj[order], ti[order], tj[order]
+            starts = np.flatnonzero(np.r_[True, ii[1:] != ii[:-1]])
+            bounds = np.r_[starts, len(ii)]
+            jac = np.empty(len(ii))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                A = sh(ii[s], ti[s])
+                parts = [sh(jj[r], tj[r]) for r in range(s, e)]
+                sizes = np.array([p.size for p in parts], dtype=np.int64)
+                B = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+                pos = np.searchsorted(A, B)
+                member = (pos < A.size) & (A[np.minimum(pos, A.size - 1)] == B)
+                seg = np.zeros(len(sizes), dtype=np.int64)
+                seg[1:] = np.cumsum(sizes)[:-1]
+                inter = np.add.reduceat(member, seg) if B.size else np.zeros(len(sizes), np.int64)
+                union = A.size + sizes - inter
+                jac[s:e] = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+            yield pd.DataFrame({"i": ii, "j": jj, "jaccard": jac})
 
     out = joined.mapInPandas(run, "i long, j long, jaccard double")
     return out.where(F.col("jaccard") >= threshold)
@@ -256,9 +284,9 @@ def simhash_candidates(
         n_bands = min(64, max_hamming + 1)
     width = 64 // n_bands
     mask = (1 << width) - 1
-    sigs = sigs.persist()  # feeds the banded self-join AND the hamming verify
+    sigs = sigs.persist()  # feeds both sides of the banded self-join
     banded = sigs.select(
-        F.col(id_col),
+        F.col(id_col), F.col("simhash"),
         F.posexplode(
             F.array(*[
                 F.shiftrightunsigned(F.col("simhash"), width * b).bitwiseAND(F.lit(mask))
@@ -266,19 +294,33 @@ def simhash_candidates(
             ])
         ).alias("band_idx", "band_val"),
     )
-    a = banded.select(F.col(id_col).alias("i"), "band_idx", "band_val",)
-    b = banded.select(F.col(id_col).alias("j"), "band_idx", "band_val")
-    cand = (
-        a.join(b, ["band_idx", "band_val"]).where(F.col("i") < F.col("j"))
-        .select("i", "j").distinct()
+    # Round 9: the signature rides THROUGH the band join (8 bytes/row), so
+    # the hamming filter runs inline on the join's probe output — the old
+    # plan shuffled every raw bucket pair into a distinct and then re-joined
+    # the signature table twice (at sf1.0: ~196M bucket-pair rows through a
+    # distinct + two joins, for ~15k surviving pairs). A hot band value
+    # (thousands of near-identical docs in one 12-bit bucket) is a single
+    # join key AQE cannot split, so the left side is salted on a
+    # deterministic hash of the id and the right side explodes the salt
+    # range (guide §2.5): each bucket's quadratic probe work spreads over
+    # SALT partitions, each (i, j) pair still meets exactly once per band.
+    salt_n = 16
+    a = banded.select(
+        F.col(id_col).alias("i"), F.col("simhash").alias("h_i"),
+        "band_idx", "band_val",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_n)).cast("int").alias("_salt"),
     )
-    si = sigs.select(F.col(id_col).alias("i"), F.col("simhash").alias("h_i"))
-    sj = sigs.select(F.col(id_col).alias("j"), F.col("simhash").alias("h_j"))
+    b = banded.select(
+        F.col(id_col).alias("j"), F.col("simhash").alias("h_j"),
+        "band_idx", "band_val",
+    ).withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))))
     return (
-        cand.join(si, "i").join(sj, "j")
+        a.join(b, ["band_idx", "band_val", "_salt"])
+        .where(F.col("i") < F.col("j"))
         .withColumn("hamming", F.bit_count(F.col("h_i").bitwiseXOR(F.col("h_j"))))
         .where(F.col("hamming") <= max_hamming)
         .select("i", "j", "hamming")
+        .distinct()
     )
 
 
@@ -390,9 +432,17 @@ def connected_components(
     (2^rounds nodes — the property test OOM'd the driver on a
     diameter-15 random graph before this).  ``stats``, when given, gets
     {"rounds": n} for pilot instrumentation."""
+    # mirror each edge via explode, not union: the union's two branches
+    # each re-ran the whole upstream pipeline (e.g. the LSH verify) in one
+    # job — one scan emits both directions (round 9, guide §2.4)
     und = (
-        pairs.select(F.col(i).alias("a"), F.col(j).alias("b"))
-        .unionAll(pairs.select(F.col(j).alias("a"), F.col(i).alias("b")))
+        pairs.select(
+            F.explode(F.array(
+                F.struct(F.col(i).alias("a"), F.col(j).alias("b")),
+                F.struct(F.col(j).alias("a"), F.col(i).alias("b")),
+            )).alias("_e")
+        )
+        .select("_e.a", "_e.b")
         .distinct()
         .persist()
     )

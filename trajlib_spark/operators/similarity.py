@@ -635,9 +635,18 @@ def symmetrize_normalize(dists: DataFrame) -> DataFrame:
     """(S + Sᵀ) / max — union the mirrored pairs and scale by the global
     max distance (/root/reference/fedtraj/model/trainer/
     simi_trainer.py:197-200; max over splits preprocessing_porto.py:219-221)."""
-    both = dists.unionAll(
-        dists.select(F.col("j").alias("i"), F.col("i").alias("j"), "dist")
-    ).persist()  # the max agg and the normalized output share one pass
+    # mirror via explode, not union — the union's branches each re-ran the
+    # upstream distance pipeline in one job (round 9, guide §2.4)
+    both = (
+        dists.select(
+            F.explode(F.array(
+                F.struct(F.col("i"), F.col("j"), F.col("dist")),
+                F.struct(F.col("j").alias("i"), F.col("i").alias("j"), F.col("dist")),
+            )).alias("_e")
+        )
+        .select("_e.i", "_e.j", "_e.dist")
+        .persist()
+    )  # the max agg and the normalized output share one pass
     mx = both.agg(F.max("dist")).collect()[0][0]
     return both.withColumn("dist", F.col("dist") / F.lit(float(mx)))
 
