@@ -182,6 +182,80 @@ def tfidf_top_terms(
     )
 
 
+def _per_doc_trigram_counts(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, tri, _k): count of every distinct character trigram of
+    lower(text) per document — integer-exact equivalent of the Catalyst
+    ``explode(sequence) + substr + groupBy count`` chain, vectorized per
+    Arrow batch: code points (utf-32) pack three-at-a-time into one uint64
+    key (21 bits each covers all of Unicode), one lexsort + run-length
+    pass counts every (doc, trigram), and only the batch's few distinct
+    keys are decoded back to strings. Python's str.lower() matches
+    Spark's lower() on this corpus (ASCII; the one documented divergence
+    class is Greek final sigma, which Python lowercases context-
+    sensitively)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            texts = pdf[text].to_numpy()
+            doc_parts: list[np.ndarray] = []
+            key_parts: list[np.ndarray] = []
+            for r, s in enumerate(texts):
+                s = (s or "").lower()
+                n = len(s) - 2
+                if n <= 0:
+                    continue
+                cp = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                key_parts.append(
+                    (cp[:n] << np.uint64(42))
+                    | (cp[1 : n + 1] << np.uint64(21))
+                    | cp[2 : n + 2]
+                )
+                doc_parts.append(np.full(n, r, dtype=np.int64))
+            if not key_parts:
+                yield pd.DataFrame(
+                    {id_col: ids[:0], "tri": np.array([], dtype=object),
+                     "_k": np.array([], dtype=np.int64)}
+                )
+                continue
+            keys = np.concatenate(key_parts)
+            drows = np.concatenate(doc_parts)
+            order = np.lexsort((keys, drows))
+            keys, drows = keys[order], drows[order]
+            bnd = np.flatnonzero(
+                np.r_[True, (keys[1:] != keys[:-1]) | (drows[1:] != drows[:-1])]
+            )
+            counts = np.diff(np.r_[bnd, len(keys)])
+            out_keys = keys[bnd]
+            uk = np.unique(out_keys)
+            m21 = np.uint64((1 << 21) - 1)
+            tri_strs = np.array(
+                [
+                    chr(int(k >> np.uint64(42)))
+                    + chr(int((k >> np.uint64(21)) & m21))
+                    + chr(int(k & m21))
+                    for k in uk
+                ],
+                dtype=object,
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: ids[drows[bnd]],
+                    "tri": tri_strs[np.searchsorted(uk, out_keys)],
+                    "_k": counts,
+                }
+            )
+
+    return docs.select(id_col, text).mapInPandas(
+        run, f"{id_col} long, tri string, _k long"
+    )
+
+
 def trigram_lm_score(
     docs: DataFrame, text: str = "text", id_col: str = "doc_id",
     cache_trigrams: bool = True,
@@ -207,18 +281,15 @@ def trigram_lm_score(
     the right trade when even the count table dwarfs cluster memory at
     extreme corpus scale. Output: (doc_id, n_trigrams, lm_score_r),
     score rounded to 6 dp so a 1-ulp ln() divergence between engines
-    cannot change what an oracle sees."""
-    tri = (
-        docs.select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.lit(1), F.length(F.lower(F.col(text))) - 2)
-            ).alias("_p"),
-            F.lower(F.col(text)).alias("_t"),
-        )
-        .select(F.col(id_col), F.col("_t").substr(F.col("_p"), F.lit(3)).alias("tri"))
-    )
-    per_doc = tri.groupBy(id_col, "tri").agg(F.count(F.lit(1)).alias("_k"))
+    cannot change what an oracle sees.
+
+    Round 9: the per-(doc, trigram) count table comes from a vectorized
+    Arrow pass (_per_doc_trigram_counts) instead of a Catalyst position
+    explode + first-level hash aggregate — the explode materialized one
+    row per character of the corpus through a 15M-row aggregation at
+    sf1.0 for the same integer counts. Everything float (the ln() scoring
+    join and both final aggregates) is untouched Catalyst."""
+    per_doc = _per_doc_trigram_counts(docs, text=text, id_col=id_col)
     if cache_trigrams:
         per_doc = per_doc.persist()
     model = per_doc.groupBy("tri").agg(F.sum("_k").alias("cnt")).persist()
