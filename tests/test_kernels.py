@@ -210,3 +210,34 @@ def test_parallel_distance_matches_reference_formula(seed):
             min(eu(longer[0], pe), eu(longer[1], pe)),
         )
         assert parallel_distance(l1, l2) == pytest.approx(expect, rel=1e-12)
+
+
+# --- round-9 pair-blocked DP kernels ---------------------------------------
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_blocked_lcss_edr_equal_scalar(seed):
+    """lcss/edr_distance_block vectorize the integer DP across the pair
+    axis; every per-pair value must equal the scalar kernel bit-for-bit
+    (same recurrence, same float division at the end)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 24))
+    m = int(rng.integers(1, 24))
+    P = int(rng.integers(1, 7))
+    T1 = (rng.random((P, n, 2)) - 0.5) * 3
+    T2 = (rng.random((P, m, 2)) - 0.5) * 3
+    eps = float(rng.choice([0.1, 0.25, 0.5]))
+    bl = dpk.lcss_distance_block(T1, T2, eps)
+    be = dpk.edr_distance_block(T1, T2, eps)
+    for p in range(P):
+        assert bl[p] == dpk.lcss_distance_vec(T1[p], T2[p], eps)
+        assert be[p] == dpk.edr_distance_vec(T1[p], T2[p], eps)
+
+
+def test_blocked_lcss_edr_empty_sides():
+    e = np.empty((3, 0, 2))
+    f = np.ones((3, 4, 2))
+    assert (dpk.lcss_distance_block(e, f, 0.25) == 1.0).all()
+    assert (dpk.lcss_distance_block(f, e, 0.25) == 1.0).all()
+    assert (dpk.edr_distance_block(e, f, 0.25) == 1.0).all()
+    assert (dpk.edr_distance_block(e, e, 0.25) == 0.0).all()

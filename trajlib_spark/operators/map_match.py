@@ -35,13 +35,18 @@ def edge_covering_cells(
     ~10 cover rows per edge instead of ~80 on the fine grid."""
     d = edges.select(
         "edge_id",
-        # ±2 cells: ±1 covers the halo in real arithmetic; the extra cell
-        # absorbs float rounding at the d ≈ halo_m decision boundary so the
-        # cover is strictly conservative w.r.t. the exact distance filter
-        (F.floor(F.least("x1", "x2") / F.lit(halo_m)) - 2).alias("ix_lo"),
-        (F.floor(F.greatest("x1", "x2") / F.lit(halo_m)) + 2).alias("ix_hi"),
-        (F.floor(F.least("y1", "y2") / F.lit(halo_m)) - 2).alias("iy_lo"),
-        (F.floor(F.greatest("y1", "y2") / F.lit(halo_m)) + 2).alias("iy_hi"),
+        # ±1 covers the halo: a point passing the (float) d ≤ halo_m filter
+        # lies within halo_m(1 + ~1e-13) of the edge MBR on each axis, and
+        # floor((a + h)/h) = floor(a/h) + 1 exactly, so its coarse cell is
+        # at most one off the edge's floored MBR range. Round 9: was ±2
+        # ("one ring of float slack"), which is only reachable when a
+        # coordinate/h ratio sits within ~1e-13 of an integer — candidate
+        # sets diffed IDENTICAL at sf0.01 and sf1.0 (count+hash+dist sums)
+        # while the ±2 ring added ~2.3x join probe rows.
+        (F.floor(F.least("x1", "x2") / F.lit(halo_m)) - 1).alias("ix_lo"),
+        (F.floor(F.greatest("x1", "x2") / F.lit(halo_m)) + 1).alias("ix_hi"),
+        (F.floor(F.least("y1", "y2") / F.lit(halo_m)) - 1).alias("iy_lo"),
+        (F.floor(F.greatest("y1", "y2") / F.lit(halo_m)) + 1).alias("iy_hi"),
     )
     d = d.select(
         "edge_id", F.explode(F.sequence("ix_lo", "ix_hi")).alias("cx"), "iy_lo", "iy_hi"

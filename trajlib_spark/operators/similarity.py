@@ -105,6 +105,54 @@ _KERNELS: dict[str, Callable] = {
     "hausdorff": lambda t1, t2, eps: dpk.hausdorff_distance(t1, t2),
 }
 
+# measures with a pair-BLOCKED kernel (integer DP vectorized across the
+# pair axis — per-pair results identical to the scalar kernels; round 9)
+_BLOCK_KERNELS: dict[str, Callable] = {
+    "lcss": dpk.lcss_distance_block,
+    "edr": dpk.edr_distance_block,
+}
+_BLOCK_MAX = 2048  # bounds the (P, n, m) DP/match temporaries
+
+
+def _eval_pairs(measure, eps, xi, yi, xj, yj) -> np.ndarray:
+    """[P] distances for object arrays of per-pair coordinate arrays.
+    lcss/edr run the blocked integer-DP kernel over runs of identical
+    (len_i, len_j) — identical values to the per-pair kernels, ~the
+    diagonal-step numpy overhead amortized over the block; every other
+    measure keeps the per-pair kernel loop."""
+    P = len(xi)
+    dists = np.empty(P)
+    blk = _BLOCK_KERNELS.get(measure)
+    if blk is None:
+        kern = _KERNELS[measure]
+        for r in range(P):
+            dists[r] = kern(
+                np.column_stack([xi[r], yi[r]]),
+                np.column_stack([xj[r], yj[r]]), eps,
+            )
+        return dists
+    ns = np.fromiter((len(a) for a in xi), dtype=np.int64, count=P)
+    ms = np.fromiter((len(a) for a in xj), dtype=np.int64, count=P)
+    order = np.lexsort((ms, ns))
+    s = 0
+    while s < P:
+        n0, m0 = ns[order[s]], ms[order[s]]
+        e = s
+        while (e < P and e - s < _BLOCK_MAX
+               and ns[order[e]] == n0 and ms[order[e]] == m0):
+            e += 1
+        rows = order[s:e]
+        T1 = np.empty((len(rows), n0, 2))
+        T2 = np.empty((len(rows), m0, 2))
+        for k, r in enumerate(rows):
+            T1[k, :, 0] = xi[r]
+            T1[k, :, 1] = yi[r]
+            T2[k, :, 0] = xj[r]
+            T2[k, :, 1] = yj[r]
+        dists[rows] = blk(T1, T2, eps)
+        s = e
+    return dists
+
 
 def similarity_join(
     polys: DataFrame,
@@ -118,7 +166,6 @@ def similarity_join(
     upper-triangular pair table (e.g. a k-ring-bounded candidate set)."""
     if measure not in _KERNELS:
         raise ValueError(f"unknown measure {measure!r}; one of {sorted(_KERNELS)}")
-    kern = _KERNELS[measure]
     if pairs is None:
         pairs = pair_table(polys.select(id_col, *( [block_col] if block_col else [] )),
                            id_col, block_col)
@@ -137,13 +184,11 @@ def similarity_join(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dists = np.empty(len(pdf))
-            xi, yi = pdf["xs_i"].to_numpy(), pdf["ys_i"].to_numpy()
-            xj, yj = pdf["xs_j"].to_numpy(), pdf["ys_j"].to_numpy()
-            for r in range(len(pdf)):
-                t1 = np.column_stack([xi[r], yi[r]])
-                t2 = np.column_stack([xj[r], yj[r]])
-                dists[r] = kern(t1, t2, eps)
+            dists = _eval_pairs(
+                measure, eps,
+                pdf["xs_i"].to_numpy(), pdf["ys_i"].to_numpy(),
+                pdf["xs_j"].to_numpy(), pdf["ys_j"].to_numpy(),
+            )
             yield pd.DataFrame({"i": pdf["i"], "j": pdf["j"], "dist": dists})
 
     i_type = dict(joined.dtypes)["i"]
@@ -192,7 +237,7 @@ def multi_measure_join(
         joined.sparkSession.sparkContext.defaultParallelism, "i", "j"
     )
     specs = [
-        (out, _KERNELS[m], eps, coord_cols.get(out, ("xs", "ys")))
+        (out, m, eps, coord_cols.get(out, ("xs", "ys")))
         for out, (m, eps) in measures.items()
     ]
 
@@ -200,15 +245,12 @@ def multi_measure_join(
         for pdf in batches:
             out = {"i": pdf["i"], "j": pdf["j"]}
             cols = {c: pdf[c].to_numpy() for c in pdf.columns if c not in ("i", "j")}
-            for name, kern, eps, (xc, yc) in specs:
-                dists = np.empty(len(pdf))
-                xi, yi = cols[f"{xc}_i"], cols[f"{yc}_i"]
-                xj, yj = cols[f"{xc}_j"], cols[f"{yc}_j"]
-                for r in range(len(pdf)):
-                    t1 = np.column_stack([xi[r], yi[r]])
-                    t2 = np.column_stack([xj[r], yj[r]])
-                    dists[r] = kern(t1, t2, eps)
-                out[name] = dists
+            for name, m, eps, (xc, yc) in specs:
+                out[name] = _eval_pairs(
+                    m, eps,
+                    cols[f"{xc}_i"], cols[f"{yc}_i"],
+                    cols[f"{xc}_j"], cols[f"{yc}_j"],
+                )
             yield pd.DataFrame(out)
 
     i_type = dict(joined.dtypes)["i"]
@@ -221,26 +263,31 @@ def _score_pairs(
     pairs: DataFrame, measure: str, eps: float,
     q_cols: tuple[str, str] = ("xs_q", "ys_q"),
     d_cols: tuple[str, str] = ("xs_d", "ys_d"),
+    pre_spread: bool = False,
 ) -> DataFrame:
     """(i, j, polylines) → (query_id, neighbor_id, dist) via the Arrow-
     batched DP kernel. The pair table is explicitly respread first: the
     kernel's cost is per PAIR (tens of ms for EDwP), while AQE sizes
     partitions by BYTES and would coalesce a few-MB pair table onto 1-2
-    cores."""
-    pairs = pairs.repartition(
-        pairs.sparkSession.sparkContext.defaultParallelism, "i", "j"
-    )
-    kern = _KERNELS[measure]
+    cores. ``pre_spread=True`` skips the respread for callers that already
+    partitioned the SLIM pair ids before attaching the polylines —
+    respreading here would shuffle every pair with both arrays aboard
+    (round 9: at sf1.0 the LCSS path moved ~2 KB/pair × millions of pairs
+    through this exchange for a 16-byte decision)."""
+    if not pre_spread:
+        pairs = pairs.repartition(
+            pairs.sparkSession.sparkContext.defaultParallelism, "i", "j"
+        )
     xq, yq = q_cols
     xd, yd = d_cols
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dists = np.empty(len(pdf))
-            for r in range(len(pdf)):
-                t1 = np.column_stack([pdf[xq].iat[r], pdf[yq].iat[r]])
-                t2 = np.column_stack([pdf[xd].iat[r], pdf[yd].iat[r]])
-                dists[r] = kern(t1, t2, eps)
+            dists = _eval_pairs(
+                measure, eps,
+                pdf[xq].to_numpy(), pdf[yq].to_numpy(),
+                pdf[xd].to_numpy(), pdf[yd].to_numpy(),
+            )
             yield pd.DataFrame(
                 {"query_id": pdf["i"], "neighbor_id": pdf["j"], "dist": dists}
             )
@@ -386,9 +433,21 @@ def _lcss_edr_topk(
         .select("i", "j")
         .persist()
     )
-    pairs = cand.join(q_lines, "i").join(db_lines, "j")
+    # shuffle the SLIM pair ids by j and co-partition the db polylines on
+    # the same key (explicit numPartitions keeps AQE from coalescing the
+    # kernel's parallelism away); the bounded query side broadcasts. No
+    # exchange ever carries a polyline-laden pair row (round 9, guide
+    # §2.3/§8: move the 16-byte decision, attach the payload where it
+    # lands).
+    par = cand.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        cand.repartition(par, "j")
+        .join(db_lines.repartition(par, "j"), "j")
+        .join(F.broadcast(q_lines), "i")
+    )
     scored = _score_pairs(
-        pairs.select("i", "j", "xs_q", "ys_q", "xs_d", "ys_d"), measure, eps
+        pairs.select("i", "j", "xs_q", "ys_q", "xs_d", "ys_d"), measure, eps,
+        pre_spread=True,
     ).persist()
 
     # queries already exact: ≥ k candidates scoring strictly < 1.0 (then no
