@@ -212,28 +212,28 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_point_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-point feature bundle: the reference's 4-tuple spatial features
     (x/y minmax-norm, neighbor-mean distance, turning-angle feature) and
-    the kinematic derivations (step, speed, bearing, acceleration) joined
-    on point_id — one row per point, all eight values (consolidates the
-    former spatial_features / kinematics queries, VERDICT r4 #2
-    follow-on; both operators window over the same trajectory order)."""
+    the kinematic derivations (step, speed, bearing, acceleration) — one
+    row per point, all eight values (consolidates the former
+    spatial_features / kinematics queries, VERDICT r4 #2 follow-on).
+    Round 9: both operators window over the SAME (traj, ts, point) spec,
+    so they chain into one pass — Catalyst collapses the adjacent Window
+    nodes onto a single shuffle+sort — instead of two full window passes
+    re-joined on point_id (2 extra Exchanges for identical values)."""
     pts = _points(spark, sf_dir)
-    sf = feat_ops.spatial_features(
-        pts, G, traj="traj_id", order=["ts_ms", "point_id"]
-    ).select(
+    both = feat_ops.kinematics(
+        feat_ops.spatial_features(pts, G, traj="traj_id", order=["ts_ms", "point_id"])
+    )
+    return both.select(
         "point_id",
         _RND("x_norm", 6).alias("x_norm_r"),
         _RND("y_norm", 6).alias("y_norm_r"),
         _RND("dist_feat", 6).alias("dist_r"),
         _RND("radian_feat", 6).alias("radian_r"),
-    )
-    kin = feat_ops.kinematics(pts).select(
-        "point_id",
         _RND("step_m", 3).alias("step_r"),
         _RND("speed_mps", 4).alias("speed_r"),
         _RND("bearing_rad", 3).alias("bearing_r"),
         _RND("accel_mps2", 4).alias("accel_r"),
     )
-    return sf.join(kin, "point_id")
 
 
 def q_point_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:

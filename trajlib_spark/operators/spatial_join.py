@@ -130,13 +130,56 @@ def point_in_polygon(
     """
     if "cell_id" not in points.columns:
         points = cells.with_cell(points, grid, x=x, y=y)
+    # Round 9: classify each covering cell ONCE at index-build time. A cell
+    # is _full when a margin-grown rectangle containing every point the
+    # cell can hold is provably inside the polygon: (a) no polygon edge's
+    # bbox overlaps the rectangle — the boundary never enters it, so the
+    # even-odd parity is constant across it — and (b) one rectangle corner
+    # has odd parity. Probes against _full cells then skip the per-point
+    # ray cast entirely (the interpreted HOF that dominated the pip stage);
+    # only boundary-cell probes still pay it, and Or short-circuits. The
+    # margin covers the inner-floor index slack (+1) with room (±2); the
+    # grid's snap-to-center quirk parks out-of-MBR points in the CENTER
+    # cell at arbitrary coordinates, so that one cell is never _full.
+    raw = polygon_covering_cells(polygons, grid).withColumnRenamed("cell_id", "_g_cell")
+    ix = F.floor(F.col("_g_cell") / F.lit(grid.y_size))
+    iy = F.col("_g_cell") % F.lit(grid.y_size)
+    rx_lo = F.lit(grid.x_min) + ix * F.lit(grid.x_unit) - F.lit(2.0)
+    rx_hi = F.lit(grid.x_min) + (ix + 1) * F.lit(grid.x_unit) + F.lit(3.0)
+    ry_lo = F.lit(grid.y_min) + iy * F.lit(grid.y_unit) - F.lit(2.0)
+    ry_hi = F.lit(grid.y_min) + (iy + 1) * F.lit(grid.y_unit) + F.lit(3.0)
+
+    def edge_bbox_overlaps(ring: Column) -> Column:
+        n = F.size(ring)
+        edges = F.arrays_zip(F.slice(ring, 1, n - 1), F.slice(ring, 2, n - 1))
+        return F.exists(
+            edges,
+            lambda e: (F.greatest(e["0"][0], e["1"][0]) >= rx_lo)
+            & (F.least(e["0"][0], e["1"][0]) <= rx_hi)
+            & (F.greatest(e["0"][1], e["1"][1]) >= ry_lo)
+            & (F.least(e["0"][1], e["1"][1]) <= ry_hi),
+        )
+
+    cx, cy = grid.center
+    center_cell = cells.cell_id(F.lit(float(cx)), F.lit(float(cy)), grid)
+    full = (
+        (F.col("_g_cell") != center_cell)
+        & ~F.exists(F.col("coord"), edge_bbox_overlaps)
+        & ray_cast_inside(rx_lo, ry_lo, F.col("coord"))
+    )
+    # localCheckpoint cuts the lineage so the classification is computed
+    # ONCE when the broadcast relation is built — without it the optimizer
+    # collapses the _full projection INTO the join condition and every
+    # probe re-runs the whole cell classification (measured 5x slower
+    # than the plain ray cast). Lazy: materializes at broadcast build.
     index = F.broadcast(
-        polygon_covering_cells(polygons, grid).withColumnRenamed("cell_id", "_g_cell")
+        raw.withColumn("_full", full).localCheckpoint(eager=False)
     )
     # refine lives in the join condition: evaluated exactly at the hash
     # join's probe, immune to pushdown/replan mangling
-    cond = (points["cell_id"] == index["_g_cell"]) & ray_cast_inside(
-        points[x], points[y], index["coord"]
+    cond = (points["cell_id"] == index["_g_cell"]) & (
+        index["_full"]
+        | ray_cast_inside(points[x], points[y], index["coord"])
     )
     cand = points.join(index, cond)
     out_cols = point_cols or [c for c in points.columns if c != "cell_id"]

@@ -161,11 +161,7 @@ def tfidf_top_terms(
     metadata scalar."""
     from pyspark.sql import Window
 
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text)), " ")).alias("token"),
-    ).where(F.length("token") > 0)
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _per_doc_token_counts(docs, text=text, id_col=id_col)
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
@@ -253,6 +249,48 @@ def _per_doc_trigram_counts(
 
     return docs.select(id_col, text).mapInPandas(
         run, f"{id_col} long, tri string, _k long"
+    )
+
+
+def _per_doc_token_counts(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, token, tf): per-document counts of the non-empty
+    single-space-split lowercased tokens — integer-exact equivalent of
+    ``explode(split(lower(text), " ")) → groupBy count`` (Python's
+    str.split(" ") keeps the same empty fragments the regex split does;
+    both sides then drop them), without materializing one row per token
+    occurrence through a corpus-wide hash aggregate (round 9)."""
+    from collections import Counter
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            texts = pdf[text].to_numpy()
+            out_ids: list[np.ndarray] = []
+            toks: list[str] = []
+            tfs: list[int] = []
+            for r, s in enumerate(texts):
+                c = Counter((s or "").lower().split(" "))
+                c.pop("", None)
+                if not c:
+                    continue
+                out_ids.append(np.full(len(c), ids[r], dtype=np.int64))
+                toks.extend(c.keys())
+                tfs.extend(c.values())
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_ids) if out_ids
+                    else np.array([], dtype=np.int64),
+                    "token": np.array(toks, dtype=object),
+                    "tf": np.array(tfs, dtype=np.int64),
+                }
+            )
+
+    return docs.select(id_col, text).mapInPandas(
+        run, f"{id_col} long, token string, tf long"
     )
 
 
