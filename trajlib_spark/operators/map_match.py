@@ -104,10 +104,21 @@ def match_trajectories(
     topology array (roads.road_grid_arrays)."""
     cand = candidate_edges(points_cells, edges, grid, max_dist)
     # every point must reach the kernel, including candidate-less ones
-    # (they reset the chain): left-join candidates back onto the points
-    base = points_cells.select("traj_id", "point_id", "ts_ms", "x", "y")
-    full = base.join(cand.select("traj_id", "point_id", "edge_id", "dist"),
-                     ["traj_id", "point_id"], "left")
+    # (they reset the chain). Round 9: UNION one null-edge row per point
+    # instead of left-joining candidates back onto the points — the join
+    # hash-shuffled both the candidate table and the base twice for the
+    # same grouping the kernel re-establishes anyway. The kernel's NaN
+    # mask drops the extra null row for points that do have candidates,
+    # and a candidate-less point keeps exactly its chain-reset row, so the
+    # per-point candidate sets are unchanged (A/B identical at sf1.0).
+    base = points_cells.select(
+        "traj_id", "point_id", "ts_ms", "x", "y",
+        F.lit(None).cast("long").alias("edge_id"),
+        F.lit(None).cast("double").alias("dist"),
+    )
+    full = cand.select(
+        "traj_id", "point_id", "ts_ms", "x", "y", "edge_id", "dist"
+    ).unionAll(base)
     # per-TRAJECTORY python kernel: respread explicitly — AQE coalesces the
     # few-MB candidate table onto 1-2 partitions and would serialize the
     # Viterbi groups (same trap as segment.py's TRACLUS stage)
