@@ -380,26 +380,47 @@ def embedding_near_dups(
                       "table_idx", "bucket")
     b = banded.select(F.col(id_col).alias("j"), F.col(vec_col).alias("v_j"),
                       "table_idx", "bucket")
-    dot = F.aggregate(
-        F.zip_with("v_i", "v_j", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v,
-    )
-    nrm = lambda c: F.sqrt(F.aggregate(
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v,
-    ))
-    cos = dot / (nrm(F.col("v_i")) * nrm(F.col("v_j")))
-    # Round 9: the exact cosine verify runs inline at the bucket join's
-    # probe and the threshold filter fires BEFORE the pair dedup, so only
-    # survivors reach the distinct — the old plan shuffled every candidate
-    # pair with both vectors aboard through dropDuplicates first.
-    # Multi-table duplicates of a pair compute the identical cosine
-    # (measured dup factor ~1.002), and distinct collapses them as before.
-    return (
+
+    # Round 9: the exact cosine verify moved from an interpreted Catalyst
+    # aggregate/zip_with fold (measured ~0.5 ms per evaluation — it
+    # dominated the operator) to an Arrow batch scorer replaying the fold's
+    # exact IEEE op order: per-dimension multiply-add from a 0.0 seed for
+    # the dot and both norms, then the same dot/(n_i*n_j) division — numpy
+    # ufuncs are unfused, so every rounding step matches and the cosine is
+    # bit-identical. The threshold filter stays Catalyst; it now fires
+    # BEFORE the pair dedup, so only survivors reach the distinct (the old
+    # plan shuffled every candidate pair with both vectors through
+    # dropDuplicates). Multi-table duplicates of a pair compute the same
+    # cosine and the distinct collapses them as before.
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Vi = np.array(list(pdf["v_i"].to_numpy()), dtype=np.float64)
+            Vj = np.array(list(pdf["v_j"].to_numpy()), dtype=np.float64)
+            dot = np.zeros(len(pdf))
+            ni = np.zeros(len(pdf))
+            nj = np.zeros(len(pdf))
+            for d in range(Vi.shape[1]):
+                dot += Vi[:, d] * Vj[:, d]
+                ni += Vi[:, d] * Vi[:, d]
+                nj += Vj[:, d] * Vj[:, d]
+            cos = dot / (np.sqrt(ni) * np.sqrt(nj))
+            yield pd.DataFrame(
+                {"i": pdf["i"].to_numpy(), "j": pdf["j"].to_numpy(),
+                 "cosine": cos}
+            )
+
+    scored = (
         a.join(b, ["table_idx", "bucket"])
         .where(F.col("i") < F.col("j"))
-        .withColumn("cosine", cos)
-        .where(F.col("cosine") >= threshold)
+        .select("i", "j", "v_i", "v_j")
+        .mapInPandas(score, "i long, j long, cosine double")
+    )
+    return (
+        scored.where(F.col("cosine") >= threshold)
         .select("i", "j", "cosine")
         .distinct()
     )
