@@ -43,13 +43,56 @@ def word_count(text: Column) -> Column:
     return occurrences(text, " ") + F.lit(1)
 
 
+def _with_needle_counts(
+    docs: DataFrame, text: str, out_needles: dict[str, tuple[str, ...]],
+    pad: bool = False, lower: bool = False,
+) -> DataFrame:
+    """Adds one long column per ``out_needles`` entry: the summed
+    non-overlapping occurrence count of its needles in text (optionally
+    lowercased and space-padded first). str.count scans left-to-right
+    non-overlapping — the identical tally the length/replace trick
+    produces — so the integer columns match ``occurrences`` exactly while
+    one Arrow pass replaces one full string scan per needle (round 9;
+    q_text_features paid 26 replace passes over the corpus)."""
+    from pyspark.sql import types as T
+
+    names = list(out_needles)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            cols = {n: np.empty(len(pdf), dtype=np.int64) for n in names}
+            for r, s in enumerate(pdf[text]):
+                s = s or ""
+                if lower:
+                    s = s.lower()
+                if pad:
+                    s = f" {s} "
+                for n in names:
+                    cols[n][r] = sum(s.count(nd) for nd in out_needles[n])
+            out = pdf.copy()
+            for n in names:
+                out[n] = cols[n]
+            yield out
+
+    schema = T.StructType(
+        list(docs.schema.fields)
+        + [T.StructField(n, T.LongType()) for n in names]
+    )
+    return docs.mapInPandas(run, schema)
+
+
 def with_quality(docs: DataFrame, text: str = "text") -> DataFrame:
     """Adds n_words, punct_ratio, avg_word_len, upper_start, quality_score
     ∈ [0, 1] (length/punct/structure heuristic)."""
     t = F.col(text)
     n_chars = F.length(t)
-    n_words = word_count(t)
-    punct = sum((occurrences(t, p) for p in PUNCT), F.lit(0))
+    counted = _with_needle_counts(
+        docs, text, {"_spaces": (" ",), "_punct": PUNCT}
+    )
+    n_words = F.col("_spaces") + F.lit(1)
+    punct = F.col("_punct")
     punct_ratio = punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
     awl = (n_chars - (n_words - 1)).cast("double") / n_words.cast("double")
     score = (
@@ -57,25 +100,24 @@ def with_quality(docs: DataFrame, text: str = "text") -> DataFrame:
         + F.when((awl >= 3.0) & (awl <= 10.0), F.lit(0.3)).otherwise(F.lit(0.0))
         + F.when((punct_ratio > 0.0) & (punct_ratio < 0.1), F.lit(0.3)).otherwise(F.lit(0.0))
     )
-    return docs.withColumns(
+    return counted.withColumns(
         {
             "n_words": n_words,
             "punct_ratio": punct_ratio,
             "avg_word_len": awl,
             "quality_score": score,
         }
-    )
+    ).drop("_spaces", "_punct")
 
 
 def with_lang_id(docs: DataFrame, text: str = "text") -> DataFrame:
     """Adds lang_pred = argmax language by stopword-marker hits (ties by
     language code ascending), and the per-language hit counts."""
-    t = F.concat(F.lit(" "), F.lower(F.col(text)), F.lit(" "))
-    hits = {
-        f"hits_{lang}": sum((occurrences(t, m) for m in markers), F.lit(0))
-        for lang, markers in LANG_MARKERS.items()
-    }
-    df = docs.withColumns(hits)
+    df = _with_needle_counts(
+        docs, text,
+        {f"hits_{lang}": markers for lang, markers in LANG_MARKERS.items()},
+        pad=True, lower=True,
+    )
     # argmax via array_max over (hits, -rank) structs: linear expression
     # size (a chained CASE would duplicate every operand exponentially and
     # blow past the codegen method limit); ties pick the alphabetically
