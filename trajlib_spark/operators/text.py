@@ -289,8 +289,13 @@ def _per_doc_trigram_counts(
                 }
             )
 
-    return docs.select(id_col, text).mapInPandas(
-        run, f"{id_col} long, tri string, _k long"
+    # spread the counting pass (and everything downstream of the count
+    # table, which inherits this partitioning) — a single-file corpus
+    # otherwise pins it to the scan's 1-4 partitions
+    return (
+        docs.select(id_col, text)
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism, id_col)
+        .mapInPandas(run, f"{id_col} long, tri string, _k long")
     )
 
 
@@ -331,8 +336,11 @@ def _per_doc_token_counts(
                 }
             )
 
-    return docs.select(id_col, text).mapInPandas(
-        run, f"{id_col} long, token string, tf long"
+    # spread the counting pass (see _per_doc_trigram_counts)
+    return (
+        docs.select(id_col, text)
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism, id_col)
+        .mapInPandas(run, f"{id_col} long, token string, tf long")
     )
 
 
