@@ -75,6 +75,23 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert not any(4 in p or 5 in p for p in pairs)
 
 
+def test_jaccard_verify_slim_path_matches_join_path(spark):
+    # the broadcast-dict fast path (docs ≤ collect_max_docs) must produce
+    # exactly the join path's rows — including inner-join drop semantics
+    # for candidate ids with no doc row
+    d = _docs_with_dups(spark)
+    sigs = dedup.minhash_signatures(d, num_perm=64)
+    cands = dedup.lsh_candidates(sigs, bands=16).unionByName(
+        spark.createDataFrame([(1, 99), (98, 99)], "i long, j long")
+    )
+    slim = dedup.ngram_jaccard_verify(d, cands, threshold=0.0)
+    join = dedup.ngram_jaccard_verify(d, cands, threshold=0.0, collect_max_docs=0)
+    rows_s = sorted(map(tuple, slim.collect()))
+    rows_j = sorted(map(tuple, join.collect()))
+    assert rows_s == rows_j and rows_s  # identical, non-empty
+    assert not any(99 in (i, j) for i, j, _ in rows_s)  # missing ids dropped
+
+
 def test_minhash_estimates_jaccard(spark):
     d = _docs_with_dups(spark)
     sigs = {r.doc_id: np.array(r.sig) for r in dedup.minhash_signatures(d, num_perm=128).collect()}

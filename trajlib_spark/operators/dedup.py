@@ -173,9 +173,85 @@ def ngram_jaccard_verify(
     shingle_k: int = 5,
     text: str = "text",
     id_col: str = "doc_id",
+    collect_max_docs: int = 100_000,
 ) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs only → (i, j, jaccard)
-    with jaccard >= threshold."""
+    with jaccard >= threshold.
+
+    When the doc table is small enough to broadcast anyway
+    (≤ ``collect_max_docs`` rows — the same boundedness Catalyst's
+    broadcast join already assumed for the text attach), the texts ship
+    ONCE per executor as a broadcast dict and the kernel reads SLIM
+    (i, j) rows: the old fast path duplicated both documents onto every
+    candidate pair crossing the Arrow boundary (~13 GB serialized at
+    sf1.0 for a 180 MB decision). Above the gate the proven join path
+    runs unchanged (at corpus scale the attach degrades to a shuffle
+    join; a driver collect would not degrade, so it stays gated)."""
+    sc = docs.sparkSession.sparkContext
+    slim = candidates.repartition(sc.defaultParallelism, "i", "j")
+    if docs.count() <= collect_max_docs:
+        doc_map = {r[0]: r[1] for r in docs.select(id_col, text).collect()}
+        bmap = sc.broadcast(doc_map)
+
+        def run_slim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            tm = bmap.value
+            ids_sorted = None  # built once per task, only if a filter is needed
+            cache: dict[int, np.ndarray] = {}
+
+            def sh(key: int) -> np.ndarray:
+                v = cache.get(key)
+                if v is None:
+                    cache[key] = v = _stable_shingles(tm[key] or "", shingle_k)
+                return v
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ii = pdf["i"].to_numpy()
+                jj = pdf["j"].to_numpy()
+                # inner-join semantics of the join path: drop pairs whose
+                # id has no doc row (vectorized membership test; candidate
+                # tables derived from the same docs never hit this)
+                if ids_sorted is None:
+                    ids_sorted = np.sort(
+                        np.fromiter(tm.keys(), dtype=np.int64, count=len(tm))
+                    )
+                pos_i = np.searchsorted(ids_sorted, ii)
+                pos_j = np.searchsorted(ids_sorted, jj)
+                ok = (
+                    (pos_i < ids_sorted.size)
+                    & (ids_sorted[np.minimum(pos_i, ids_sorted.size - 1)] == ii)
+                    & (pos_j < ids_sorted.size)
+                    & (ids_sorted[np.minimum(pos_j, ids_sorted.size - 1)] == jj)
+                )
+                if not ok.all():
+                    ii, jj = ii[ok], jj[ok]
+                    if not len(ii):
+                        continue
+                # group the batch's pairs by i: one vectorized searchsorted
+                # membership pass per left doc (same core as the join path)
+                order = np.argsort(ii, kind="stable")
+                ii, jj = ii[order], jj[order]
+                starts = np.flatnonzero(np.r_[True, ii[1:] != ii[:-1]])
+                bounds = np.r_[starts, len(ii)]
+                jac = np.empty(len(ii))
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    A = sh(ii[s])
+                    parts = [sh(jj[r]) for r in range(s, e)]
+                    sizes = np.array([p.size for p in parts], dtype=np.int64)
+                    B = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+                    pos = np.searchsorted(A, B)
+                    member = (pos < A.size) & (A[np.minimum(pos, A.size - 1)] == B)
+                    seg = np.zeros(len(sizes), dtype=np.int64)
+                    seg[1:] = np.cumsum(sizes)[:-1]
+                    inter = np.add.reduceat(member, seg) if B.size else np.zeros(len(sizes), np.int64)
+                    union = A.size + sizes - inter
+                    jac[s:e] = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+                yield pd.DataFrame({"i": ii, "j": jj, "jaccard": jac})
+
+        out = slim.mapInPandas(run_slim, "i long, j long, jaccard double")
+        return out.where(F.col("jaccard") >= threshold)
+
     left = docs.select(F.col(id_col).alias("i"), F.col(text).alias("t_i"))
     right = docs.select(F.col(id_col).alias("j"), F.col(text).alias("t_j"))
     # the python kernel's cost is per PAIR, not per byte: AQE would coalesce
@@ -185,13 +261,7 @@ def ngram_jaccard_verify(
     # repartitioned after the joins and shuffled every candidate pair with
     # both documents aboard (at sf1.0: ~7 GB moved to place a 180 MB
     # decision; guide §2.3 "project before the exchange").
-    joined = (
-        candidates.repartition(
-            docs.sparkSession.sparkContext.defaultParallelism, "i", "j"
-        )
-        .join(left, "i")
-        .join(right, "j")
-    )
+    joined = slim.join(left, "i").join(right, "j")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # one shingle cache per TASK (docs repeat across the task's batches,
