@@ -295,18 +295,19 @@ def _segment_pair_d(spark: SparkSession, sf_dir: str):
     """Full-precision combined segment distance d1 + d2 over whole-
     trajectory chords, blocked by fed_id = traj_id % 5 (shared by
     q_segment_pairs and q_symmetrize_norm)."""
-    from pyspark.sql import Window
-
     pts = _points(spark, sf_dir)
-    w = Window.partitionBy("traj_id").orderBy("ts_ms", "point_id")
+    # chord endpoints = first/last point in (ts_ms, point_id) order. The
+    # old shape ranked EVERY point through a partitionBy window (full
+    # shuffle + sort of the points table) to keep rows 1 and n; min_by/
+    # max_by on the unique (ts_ms, point_id) struct key select the exact
+    # same two rows per trajectory with a map-side partial aggregate and
+    # no sort (round 9, guide §2.3 — aggregate instead of rank-and-filter)
+    okey = F.struct("ts_ms", "point_id")
     ends = (
-        pts.withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("traj_id")))
-        .where((F.col("rn") == 1) | (F.col("rn") == F.col("n")))
-        .groupBy("traj_id")
+        pts.groupBy("traj_id")
         .agg(
-            F.min_by(F.struct("x", "y"), "rn").alias("s"),
-            F.max_by(F.struct("x", "y"), "rn").alias("e"),
+            F.min_by(F.struct("x", "y"), okey).alias("s"),
+            F.max_by(F.struct("x", "y"), okey).alias("e"),
         )
         .select(
             "traj_id",
