@@ -75,6 +75,20 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert not any(4 in p or 5 in p for p in pairs)
 
 
+def test_fingerprint_block_matches_scalar():
+    # the vectorized Mersenne-fold Horner must equal the scalar
+    # (h*257 + b) % (2^61-1) loop byte-for-byte, unicode included
+    import random, string
+
+    rng = random.Random(7)
+    texts = ["", "a", "é½ünicode ✓"] + [
+        "".join(rng.choices(string.printable + "éüñ漢字", k=rng.randint(0, 2000)))
+        for _ in range(200)
+    ]
+    blk = text.fingerprint_block(texts)
+    assert all(text.fingerprint_py(t) == int(b) for t, b in zip(texts, blk))
+
+
 def test_jaccard_verify_slim_path_matches_join_path(spark):
     # the broadcast-dict fast path (docs ≤ collect_max_docs) must produce
     # exactly the join path's rows — including inner-join drop semantics

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -151,6 +152,36 @@ def fingerprint_py(text: str) -> int:
     return h
 
 
+def fingerprint_block(texts: list[str]) -> np.ndarray:
+    """Vectorized ``fingerprint_py`` over a batch: the Horner chain is
+    sequential per document, so the DOC axis vectorizes — one masked
+    numpy step per byte position. Exactness: 257 = 2⁸ + 1 and M = 2⁶¹ − 1
+    is Mersenne, so with h = q·2⁵³ + r (q < 2⁸): h·2⁸ = q·2⁶¹ + r·2⁸ ≡
+    q + r·2⁸ (mod M), and t = q + (r << 8) + h + b < 2⁶³ fits uint64;
+    folding t's bit 61+ once (2⁶¹ ≡ 1) and subtracting M at most once
+    lands exactly on t mod M — every per-byte state equals the scalar
+    loop's ``(h·257 + b) % M`` by induction, so the hashes are
+    integer-identical."""
+    if not texts:
+        return np.empty(0, dtype=np.uint64)
+    bs = [(s or "").encode("utf-8") for s in texts]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+    maxlen = int(lens.max())
+    buf = np.zeros((len(bs), maxlen), dtype=np.uint8)
+    for k, b in enumerate(bs):
+        buf[k, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    M = np.uint64(FP_MOD)
+    mask53 = np.uint64((1 << 53) - 1)
+    h = np.zeros(len(bs), dtype=np.uint64)
+    for pos in range(maxlen):
+        t = (h >> np.uint64(53)) + ((h & mask53) << np.uint64(8)) + h \
+            + buf[:, pos].astype(np.uint64)
+        t = (t >> np.uint64(61)) + (t & M)
+        t = np.where(t >= M, t - M, t)
+        h = np.where(lens > pos, t, h)
+    return h
+
+
 def with_fingerprint(docs: DataFrame, text: str = "text") -> DataFrame:
     """Adds fingerprint (rolling hash) via an Arrow-batched UDF — a
     deterministic 61-bit content id usable as a join/dedup key."""
@@ -158,9 +189,9 @@ def with_fingerprint(docs: DataFrame, text: str = "text") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["fingerprint"] = [
-                fingerprint_py(s if s is not None else "") for s in pdf[text]
-            ]
+            pdf["fingerprint"] = fingerprint_block(list(pdf[text])).astype(
+                np.int64
+            )
             yield pdf
 
     from pyspark.sql import types as T
