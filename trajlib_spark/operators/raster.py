@@ -56,36 +56,53 @@ def tile_counts(
         base = skew.salted_count(idx, ["bx", "by"], salt=salt)
     else:
         base = idx.groupBy("bx", "by").agg(F.count(F.lit(1)).alias("cnt"))
-    levels = []
-    prev = base  # at implicit zoom 0 resolution
-    prev_z = 0
-    for z in zooms:
-        shift = z - prev_z
-        if shift > 0:
-            prev = (
-                prev.select(
-                    F.shiftright(F.col("bx"), shift).alias("bx"),
-                    F.shiftright(F.col("by"), shift).alias("by"),
-                    "cnt",
-                )
-                .groupBy("bx", "by")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-            prev_z = z
-        gz = grid.at_zoom(z)
-        levels.append(
-            prev.select(
-                F.lit(z).alias("zoom"),
-                F.col("bx").alias("i_x"),
-                F.col("by").alias("i_y"),
-                cells.cell_id_from_idx(F.col("bx"), F.col("by"), gz).alias("cell_id"),
-                F.col("cnt").alias("cnt"),
-            )
+    # Round 9: the per-level chained rollups (each its own exchange +
+    # stage, run back-to-back) collapse into ONE explode + ONE aggregate:
+    # every base cell emits its (zoom, i_x >> z, i_y >> z) row per level,
+    # and a single groupBy sums the counts — the source is still scanned
+    # exactly once, the exploded table is ≤ |levels| × |base cells| (tiny;
+    # bounded by the grid, not the input), and 3 sequential shuffle stages
+    # become 1. Counts are the same integer sums (associativity), so the
+    # (zoom, i_x, i_y, cell_id, cnt) row set is identical.
+    rolled = (
+        base.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(z).alias("zoom"),
+                        F.shiftright(F.col("bx"), z).alias("i_x"),
+                        F.shiftright(F.col("by"), z).alias("i_y"),
+                    )
+                    for z in zooms
+                ])
+            ).alias("L"),
+            "cnt",
         )
-    out = levels[0]
-    for lvl in levels[1:]:
-        out = out.unionAll(lvl)
-    return out
+        .select(
+            F.col("L.zoom").alias("zoom"),
+            F.col("L.i_x").alias("i_x"),
+            F.col("L.i_y").alias("i_y"),
+            "cnt",
+        )
+        .groupBy("zoom", "i_x", "i_y")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    ysize = None
+    for z in zooms:
+        gz = grid.at_zoom(z)
+        cond = F.col("zoom") == F.lit(z)
+        ysize = (
+            F.when(cond, F.lit(gz.y_size))
+            if ysize is None
+            else ysize.when(cond, F.lit(gz.y_size))
+        )
+    return rolled.select(
+        "zoom",
+        "i_x",
+        "i_y",
+        (F.col("i_x") * ysize + F.col("i_y")).cast("long").alias("cell_id"),
+        "cnt",
+    )
 
 
 def to_dense_tiles(
